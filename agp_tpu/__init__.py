@@ -1,0 +1,86 @@
+"""agp_tpu: TPU-native augmented Gaussian-process inference engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+AugmentedGaussianProcesses.jl (reference mounted at /root/reference):
+sparse/full variational GPs over non-conjugate likelihoods made
+conditionally conjugate by Polya-Gamma / inverse-Gamma / GIG data
+augmentation, trained with closed-form natural-gradient CAVI, numerical VI,
+and augmented Gibbs sampling, with ELBO-gradient hyperparameter autotuning
+-- everything expressed as jitted, shardable, static-shape programs.
+"""
+
+from . import kernels
+from .inference.config import (
+    Analytic,
+    AnalyticSVI,
+    AnalyticVI,
+    GibbsSampling,
+    HMCSampling,
+    MCIntegrationSVI,
+    MCIntegrationVI,
+    QuadratureSVI,
+    QuadratureVI,
+)
+from .kernels import (
+    ConstantKernel,
+    CosineKernel,
+    LinearKernel,
+    Matern12Kernel,
+    Matern32Kernel,
+    Matern52Kernel,
+    PeriodicKernel,
+    PolynomialKernel,
+    RationalQuadraticKernel,
+    RBFKernel,
+    SqExponentialKernel,
+    WhiteKernel,
+)
+from .likelihoods.base import Likelihood
+from .likelihoods.classification import BayesianSVM, LogisticLikelihood
+from .likelihoods.event import NegBinomialLikelihood, PoissonLikelihood
+from .likelihoods.heteroscedastic import HeteroscedasticLikelihood
+from .likelihoods.multiclass import (
+    LogisticSoftMaxLikelihood,
+    MultiClassLikelihood,
+    SoftMaxLikelihood,
+)
+from .likelihoods.regression import (
+    GaussianLikelihood,
+    LaplaceLikelihood,
+    StudentTLikelihood,
+)
+from .means import AffineMean, ConstantMean, EmpiricalMean, ZeroMean
+from .models.gp import GP
+from .models.mcgp import MCGP, sample
+from .models.multioutput import MOSVGP, MOVGP, mo_elbo, mo_predict_f, mo_train
+from .models.online_svgp import OnlineSVGP, online_elbo, online_train
+from .models.svgp import SVGP, VGP
+from .models.vstp import VStP
+from .training.predictions import predict_f, predict_y, proba_y
+from .training.train import elbo, init_state, train
+from .utils.opt import robbins_monro
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "GP",
+    "VGP",
+    "SVGP",
+    "train",
+    "elbo",
+    "init_state",
+    "predict_f",
+    "predict_y",
+    "proba_y",
+    "Analytic",
+    "AnalyticVI",
+    "AnalyticSVI",
+    "QuadratureVI",
+    "QuadratureSVI",
+    "MCIntegrationVI",
+    "MCIntegrationSVI",
+    "GibbsSampling",
+    "HMCSampling",
+    "robbins_monro",
+    "kernels",
+]

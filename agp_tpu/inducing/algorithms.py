@@ -1,0 +1,133 @@
+"""Inducing-point selection algorithms.
+
+The reference outsources these to InducingPoints.jl (KmeansAlg, OIPS,
+UniGrid, online updateZ; re-exported API, SURVEY.md section 1).  The TPU
+build internalizes equivalents:
+
+* offline selection (`inducingpoints`) runs host-side (numpy) once, before
+  training -- it is setup code, not hot-path;
+* the *online* OIPS update (`oips_update`) runs on-device as a `lax.scan`
+  over the batch with a fixed-capacity masked inducing set, because it
+  executes every streaming batch inside the training step.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class KmeansAlg:
+    """Lloyd's k-means on the inputs (reference: InducingPoints.KmeansAlg)."""
+
+    k: int
+    n_iters: int = 20
+
+    def __call__(self, X, key=None):
+        X = np.asarray(X)
+        rng = np.random.RandomState(0 if key is None else int(key[-1]))
+        idx = rng.choice(X.shape[0], size=min(self.k, X.shape[0]), replace=False)
+        C = X[idx].copy()
+        for _ in range(self.n_iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(C.shape[0]):
+                pts = X[assign == j]
+                if len(pts):
+                    C[j] = pts.mean(0)
+        return jnp.asarray(C)
+
+
+@dataclasses.dataclass(frozen=True)
+class RandomSubset:
+    k: int
+
+    def __call__(self, X, key=None):
+        X = np.asarray(X)
+        rng = np.random.RandomState(0 if key is None else int(key[-1]))
+        idx = rng.choice(X.shape[0], size=min(self.k, X.shape[0]), replace=False)
+        return jnp.asarray(X[idx])
+
+
+@dataclasses.dataclass(frozen=True)
+class UniGrid:
+    """Uniform grid over the bounding box (1D/2D; reference: UniGrid)."""
+
+    points_per_dim: int
+
+    def __call__(self, X, key=None):
+        X = np.asarray(X)
+        D = X.shape[1]
+        axes = [
+            np.linspace(X[:, d].min(), X[:, d].max(), self.points_per_dim)
+            for d in range(D)
+        ]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        return jnp.asarray(np.stack([m.ravel() for m in mesh], axis=1))
+
+
+@dataclasses.dataclass(frozen=True)
+class OIPS:
+    """Online inducing-point selection (Galy-Fajou & Opper):
+    accept a point when its maximum kernel correlation to the current set is
+    below rho; fixed capacity cap for static shapes."""
+
+    rho: float = 0.8
+    capacity: int = 128
+
+    def __call__(self, X, key=None, kernel=None):
+        """Offline/batched init: sequential numpy pass."""
+        X = np.asarray(X)
+        Z = [X[0]]
+        for x in X[1:]:
+            if kernel is None:
+                corr = max(
+                    float(np.exp(-0.5 * ((x - z) ** 2).sum())) for z in Z
+                )
+            else:
+                kz = kernel.gram(jnp.asarray(x)[None, :], jnp.asarray(np.stack(Z)))
+                corr = float(jnp.max(kz)) / float(kernel.diag(jnp.asarray(x)[None, :])[0])
+            if corr < self.rho and len(Z) < self.capacity:
+                Z.append(x)
+        return jnp.asarray(np.stack(Z))
+
+
+def inducingpoints(alg, X, key=None, kernel=None):
+    """Select an initial inducing set (reference: InducingPoints.inducingpoints)."""
+    if isinstance(alg, OIPS):
+        return alg(X, key=key, kernel=kernel)
+    return alg(X, key=key)
+
+
+def oips_update(kernel, Z, mask, X_batch, rho: float):
+    """On-device streaming OIPS update with a fixed-capacity masked set.
+
+    Z: [M_cap, D] slots, mask: [M_cap] active flags.  A lax.scan over the
+    batch preserves the sequential accept rule (each accepted point changes
+    later correlations) while staying static-shaped.
+    """
+    cap = Z.shape[0]
+    kdiag = kernel.diag(Z)  # [M_cap] prior variances at slots
+
+    def body(carry, x):
+        Z, mask = carry
+        kv = kernel.gram(x[None, :], Z)[0]  # [M_cap]
+        kx = kernel.diag(x[None, :])[0]
+        corr = kv / jnp.sqrt(jnp.maximum(kx * kdiag, 1e-30))
+        max_corr = jnp.max(jnp.where(mask, corr, -jnp.inf))
+        n_active = jnp.sum(mask)
+        accept = jnp.logical_and(max_corr < rho, n_active < cap)
+        slot = jnp.argmin(mask)  # first inactive slot
+        Z = jnp.where(
+            accept,
+            jax.lax.dynamic_update_slice(Z, x[None, :], (slot, 0)),
+            Z,
+        )
+        mask = jnp.where(accept, mask.at[slot].set(True), mask)
+        return (Z, mask), accept
+
+    (Z, mask), _ = jax.lax.scan(body, (Z, mask), X_batch)
+    return Z, mask

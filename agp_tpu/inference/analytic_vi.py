@@ -1,0 +1,196 @@
+"""AnalyticVI / AnalyticSVI: blockwise CAVI with natural-gradient updates.
+
+The TPU-native re-design of /root/reference/src/inference/analyticVI.jl.
+One CAVI iteration is a single jitted program:
+
+  kernel matrices -> (kappa, Ktilde) -> mean_f/var_f -> likelihood E-step ->
+  natural gradient -> eta -> (mu, Sigma)
+
+Hot ops and their hardware mapping:
+  * Knm gram + kappa = Knm Kmm^-1       -> batched [L,B,M]x[L,M,M] matmuls (MXU)
+  * kappa^T diag(theta) kappa           -> one einsum contraction (MXU); this
+    [M,M]-sized statistic (plus kappa^T grad_e_mu, an [M] vector) is the ONLY
+    cross-data reduction of the step -- under a sharded data axis these are
+    psum-ed (see parallel/sharded.py), everything else is local.
+  * local updates                       -> fused elementwise [L,B] block (VPU)
+  * eta -> moments                      -> [L,M,M] Cholesky, vmapped
+
+Update equations (re-derived; reference analyticVI.jl:126-180):
+  dense:  eta1 = gmu + K^-1 mu0;  eta2 = -(Diag(gs) + K^-1/2)
+  sparse: d_eta1 = kappa^T (rho gmu) + K^-1 mu0 - eta1
+          d_eta2 = -(rho kappa^T Diag(gs) kappa + K^-1/2) - eta2
+  stochastic: eta += RobbinsMonro-scaled d_eta; else eta += d_eta (exact CAVI).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import jitter
+from ..kernels import batch_diag, batch_gram, batch_gram_zz
+from ..means import batch_call
+from ..ops import linalg
+from ..ops.kl import gaussian_kl
+from ..training.state import TrainState
+from ..utils.opt import ascent_update
+
+
+# --------------------------------------------------------------- kernel mats
+def compute_kmat(model, X) -> Dict[str, jnp.ndarray]:
+    """Cholesky + inverse of the prior covariance over the inducing inputs
+    (sparse: Z [L,M,D]; full: the training inputs X)
+    (reference: gpblocks/latentgp.jl:201-207)."""
+    if model.is_sparse:
+        K = batch_gram_zz(model.kernel, model.Z)
+    else:
+        K = batch_gram(model.kernel, X)
+    jitt = jitter(K.dtype)
+    L_K = jax.vmap(lambda k: linalg.safe_cholesky(k, jitt))(K)
+    K_inv = jax.vmap(linalg.chol_inv)(L_K)
+    return {"L_K": L_K, "K_inv": K_inv}
+
+
+def compute_kappa(model, x, kmat):
+    """(Knm, kappa = Knm Kmm^-1, Ktilde) for a data batch
+    (reference: gpblocks/latentgp.jl:209-215).
+
+    The reference asserts Ktilde > 0; on accelerators we clamp at a tiny
+    positive floor instead of aborting the jitted program."""
+    Knm = batch_gram(model.kernel, x, model.Z)  # [L, B, M]
+    kappa = jnp.einsum(
+        "lbm,lmn->lbn", Knm, kmat["K_inv"], preferred_element_type=Knm.dtype
+    )
+    kdiag = batch_diag(model.kernel, x)  # [L, B]
+    Ktilde = kdiag + jitter(Knm.dtype) - linalg.diag_ABt(kappa, Knm)
+    Ktilde = jnp.maximum(Ktilde, 1e-12)
+    return Knm, kappa, Ktilde
+
+
+def latent_moments(model, state: TrainState, x, kmat):
+    """mean_f/var_f of the latent function at the batch
+    (reference: gpblocks/latentgp.jl:171-189)."""
+    if model.is_sparse:
+        if getattr(model, "is_online", False):
+            from ..models.online_svgp import masked_kappa
+
+            _, kappa, Ktilde = masked_kappa(model, x, kmat)
+        else:
+            _, kappa, Ktilde = compute_kappa(model, x, kmat)
+        mu_f = jnp.einsum("lbm,lm->lb", kappa, state.mu)
+        kS = jnp.einsum(
+            "lbm,lmn->lbn", kappa, state.Sigma, preferred_element_type=kappa.dtype
+        )
+        var_f = Ktilde + linalg.diag_ABt(kS, kappa)
+        return mu_f, var_f, kappa
+    mu_f = state.mu
+    var_f = jnp.diagonal(state.Sigma, axis1=-2, axis2=-1)
+    return mu_f, var_f, None
+
+
+# ----------------------------------------------------------------- CAVI step
+def variational_update(model, state: TrainState, x, y) -> Tuple[Any, TrainState]:
+    """One blockwise coordinate-ascent update (E-step + natural gradient +
+    global update), reference analyticVI.jl:62-85."""
+    kmat = state.kmat
+    if getattr(model, "is_tprior", False):
+        from ..models.vstp import local_prior_updates
+
+        state = local_prior_updates(model, state, x)
+    mu_f, var_f, kappa = latent_moments(model, state, x, kmat)
+
+    # E-step: closed-form update of q(omega)
+    lik, local = model.likelihood.local_updates(y, mu_f, var_f, state.local_vars)
+    model = model.replace(likelihood=lik)
+
+    gmu = lik.grad_e_mu(y, local)  # [L, B]
+    gs = lik.grad_e_sigma(y, local)  # [L, B]
+
+    state = apply_natural_gradient(model, state.replace(local_vars=local), kappa, gmu, gs, x)
+    return model, state
+
+
+def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> TrainState:
+    """Shared natural-gradient + global update given the latent-axis
+    gradient expectations gmu/gs [L, B] (used by both single-likelihood and
+    multi-output paths)."""
+    kmat = state.kmat
+    mu0 = prior_mean_stack(model, x)  # [L, M]
+    K_inv = kmat["K_inv"]
+    if getattr(model, "is_tprior", False):
+        # Student-t prior: effective precision chi K^-1 (see models/vstp.py)
+        K_inv = state.prior_state["chi"][:, None, None] * K_inv
+    Kinv_mu0 = jnp.einsum("lmn,ln->lm", K_inv, mu0)
+
+    if model.is_sparse:
+        rho = state.rho
+        nat1_target = jnp.einsum("lbm,lb->lm", kappa, rho * gmu) + Kinv_mu0
+        stat2 = jnp.einsum(
+            "lbm,lb,lbn->lmn", kappa, rho * gs, kappa, preferred_element_type=kappa.dtype
+        )
+        nat2_target = -(stat2 + 0.5 * K_inv)
+        d_eta1 = nat1_target - state.eta1
+        d_eta2 = nat2_target - state.eta2
+        if model.inference.stochastic:
+            opt_state, (u1, u2) = ascent_update(
+                model.inference.optimiser,
+                state.opt_state,
+                (state.eta1, state.eta2),
+                (d_eta1, d_eta2),
+            )
+            eta1 = state.eta1 + u1
+            eta2 = linalg.symmetrize(state.eta2 + u2)
+            state = state.replace(opt_state=opt_state)
+        else:
+            eta1 = nat1_target
+            eta2 = linalg.symmetrize(nat2_target)
+    else:
+        eta1 = gmu + Kinv_mu0
+        eta2 = linalg.symmetrize(-(jax.vmap(jnp.diag)(gs) + 0.5 * K_inv))
+
+    mu, Sigma = jax.vmap(linalg.nat_to_moments)(eta1, eta2)
+    return state.replace(eta1=eta1, eta2=eta2, mu=mu, Sigma=Sigma)
+
+
+def prior_mean_stack(model, x):
+    """[L, M] prior mean over the inducing inputs (Z for sparse, x for full)."""
+    if model.is_sparse:
+        mu0 = batch_call(model.mean, model.Z, model.n_latent)
+        if getattr(model, "is_online", False):
+            mu0 = mu0 * model.z_mask
+        return mu0
+    return batch_call(model.mean, x, model.n_latent)
+
+
+# ---------------------------------------------------------------------- ELBO
+def elbo(model, state: TrainState, x, y, kmat=None) -> jnp.ndarray:
+    """ELBO = rho E[log p(y|f,omega)] - GaussianKL - rho AugmentedKL
+    (reference: analyticVI.jl:255-297).  The augmented KL is excluded from
+    hyperparameter gradients exactly as the reference does with
+    `ChainRulesCore.ignore_derivatives` (analyticVI.jl:269-271)."""
+    kmat = state.kmat if kmat is None else kmat
+    mu_f, var_f, _ = latent_moments(model, state, x, kmat)
+    rho = state.rho if model.is_sparse else jnp.asarray(1.0, mu_f.dtype)
+    tot = rho * model.likelihood.expec_loglik(y, mu_f, var_f, state.local_vars)
+    mu0 = prior_mean_stack(model, x)
+    L_K = kmat["L_K"]
+    if getattr(model, "is_tprior", False) and state.prior_state is not None:
+        # prior covariance K / chi: scale the Cholesky factor
+        L_K = L_K / jnp.sqrt(state.prior_state["chi"])[:, None, None]
+    kl = jax.vmap(gaussian_kl)(state.mu, mu0, state.Sigma, L_K)
+    tot -= jnp.sum(kl)
+    tot -= jax.lax.stop_gradient(
+        rho * model.likelihood.aug_kl(state.local_vars, y)
+    )
+    tot -= extra_kl(model, state)
+    return tot
+
+
+def extra_kl(model, state):
+    """Online-model extra KL (zero otherwise); see models/online_svgp.py."""
+    if getattr(model, "is_online", False) and state.previous is not None:
+        from ..models.online_svgp import online_extra_kl
+
+        return online_extra_kl(model, state)
+    return jnp.asarray(0.0, state.mu.dtype)

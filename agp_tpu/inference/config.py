@@ -1,0 +1,143 @@
+"""Inference-engine configurations.
+
+The reference's inference objects mix static configuration with mutable
+iteration state (/root/reference/src/inference/inference.jl).  TPU-native
+split: everything here is *static* (hashable Python dataclasses used as jit
+constants); the dynamic parts (rho, iteration counter, optimizer states,
+local variables) live in the TrainState pytree.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import optax
+
+from ..utils.opt import robbins_monro
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    @property
+    def name(self) -> str:
+        return type(self).__name__
+
+    stochastic: bool = False
+    batchsize: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Analytic(InferenceConfig):
+    """Exact conjugate solve for `GP` (reference: inference/analytic.jl)."""
+
+    stochastic: bool = False
+    batchsize: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class AnalyticVI(InferenceConfig):
+    """Blockwise CAVI with closed-form natural-gradient updates
+    (reference: inference/analyticVI.jl).  Non-stochastic: the natural
+    parameters jump straight to the coordinate-ascent optimum each step."""
+
+    stochastic: bool = False
+    batchsize: int = 0
+    optimiser: Optional[Any] = None  # optax transform for stochastic nat-grads
+
+    @property
+    def name(self):
+        return "AnalyticVI"
+
+
+def AnalyticSVI(batchsize: int, optimiser=None) -> AnalyticVI:
+    """Stochastic AnalyticVI on minibatches with Robbins-Monro steps
+    (reference: inference/analyticVI.jl:44-48)."""
+    if optimiser is None:
+        optimiser = robbins_monro()
+    return AnalyticVI(stochastic=True, batchsize=batchsize, optimiser=optimiser)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuadratureVI(InferenceConfig):
+    """Numerical VI with Gauss-Hermite expectations of the log-likelihood
+    (reference: inference/quadratureVI.jl)."""
+
+    stochastic: bool = False
+    batchsize: int = 0
+    n_points: int = 100
+    clipping: float = 0.0
+    natural: bool = True
+    optimiser: Optional[Any] = None
+
+    def __post_init__(self):
+        if self.optimiser is None:
+            object.__setattr__(self, "optimiser", optax.sgd(1e-5, momentum=0.9))
+
+    @property
+    def name(self):
+        return "QuadratureVI"
+
+
+def QuadratureSVI(batchsize: int, n_points: int = 100, optimiser=None, **kw) -> QuadratureVI:
+    return QuadratureVI(
+        stochastic=True, batchsize=batchsize, n_points=n_points, optimiser=optimiser, **kw
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class MCIntegrationVI(InferenceConfig):
+    """Numerical VI with Monte-Carlo expectations
+    (reference: inference/MCVI.jl)."""
+
+    stochastic: bool = False
+    batchsize: int = 0
+    n_mc: int = 1000
+    clipping: float = 0.0
+    natural: bool = True
+    optimiser: Optional[Any] = None
+
+    def __post_init__(self):
+        if self.optimiser is None:
+            object.__setattr__(self, "optimiser", optax.sgd(1e-3, momentum=0.9))
+
+    @property
+    def name(self):
+        return "MCIntegrationVI"
+
+
+def MCIntegrationSVI(batchsize: int, n_mc: int = 200, optimiser=None, **kw) -> MCIntegrationVI:
+    return MCIntegrationVI(
+        stochastic=True, batchsize=batchsize, n_mc=n_mc, optimiser=optimiser, **kw
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class GibbsSampling(InferenceConfig):
+    """Blocked Gibbs sampling over (omega, f)
+    (reference: inference/gibbssampling.jl)."""
+
+    stochastic: bool = False
+    batchsize: int = 0
+    n_burnin: int = 100
+    thinning: int = 1
+
+    @property
+    def name(self):
+        return "GibbsSampling"
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCSampling(InferenceConfig):
+    """NUTS/HMC sampling of f (capability spec from the reference's
+    bitrotted hmcsampling.jl; implemented natively here)."""
+
+    stochastic: bool = False
+    batchsize: int = 0
+    n_burnin: int = 100
+    thinning: int = 1
+    step_size: float = 0.1
+    n_leapfrog: int = 16
+
+    @property
+    def name(self):
+        return "HMCSampling"

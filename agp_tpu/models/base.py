@@ -1,0 +1,40 @@
+"""Model base utilities.
+
+The reference's models are mutable structs with trait-based dispatch
+(IsFull/IsSparse/IsMultiOutput, /root/reference/src/models/AbstractGP.jl).
+TPU-native design: each model is an immutable pytree dataclass; the traits
+become plain class attributes (`is_sparse`, `is_multioutput`) read at trace
+time, and the per-latent structure is an array axis, not a tuple of structs.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import kernels as K
+from .. import means as Mn
+from ..likelihoods.base import Likelihood
+
+
+def check_implemented(likelihood: Likelihood, inference) -> None:
+    """Compatibility gate (reference: `implemented(likelihood, inference)`
+    default-false dispatch, likelihood/likelihood.jl:29)."""
+    ok = inference.name in type(likelihood).implemented()
+    if not ok:
+        raise ValueError(
+            f"{type(likelihood).__name__} is not implemented/compatible with "
+            f"{inference.name}"
+        )
+
+
+def prepare_components(kernel, likelihood, mean, n_latent):
+    """Replicate kernel/mean pytrees over the latent axis [L, ...]."""
+    kernel = K.replicate(kernel, n_latent)
+    mean = Mn.replicate(Mn.as_mean(mean), n_latent)
+    return kernel, mean
+
+
+def as_2d(X) -> jnp.ndarray:
+    X = jnp.asarray(X)
+    if X.ndim == 1:
+        X = X[:, None]
+    return X

@@ -1,0 +1,300 @@
+"""Multi-output models: MOVGP / MOSVGP (linear model of coregionalization).
+
+Equivalent of /root/reference/src/models/MOVGP.jl, MOSVGP.jl and
+single_and_multi_output_utils.jl: T tasks share Q latent GPs through
+per-output mixing vectors A, learned by gradient steps + unit-norm
+projection (single_and_multi_output_utils.jl:87-118).
+
+TPU-native layout: the per-task/per-f structure A[t][j][q] is flattened to
+one mixing matrix A [R, Q] over "output rows" r = (t, j); the mixing of
+means/variances/gradients is then a pair of [R, Q] x [Q, B] matmuls (MXU)
+instead of nested loops.  Tasks may have heterogeneous likelihoods (a
+Python tuple -- static structure, separate local-vars pytrees).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..inference.config import AnalyticVI, InferenceConfig
+from ..means import PriorMean, ZeroMean
+from .base import as_2d, check_implemented, prepare_components
+
+
+class MOSVGP(struct.PyTreeNode):
+    kernel: Any  # [Q]-stacked
+    likelihoods: Tuple  # length T, pytree leaves trainable
+    mean: PriorMean  # [Q]-stacked
+    Z: jnp.ndarray  # [Q, M, D]
+    A: jnp.ndarray  # [R, Q] mixing matrix, unit-norm rows
+    inference: InferenceConfig = struct.field(pytree_node=False)
+    n_latent: int = struct.field(pytree_node=False)  # Q
+    n_tasks: int = struct.field(pytree_node=False, default=1)
+    rows_per_task: Tuple[int, ...] = struct.field(pytree_node=False, default=(1,))
+    atfrequency: int = struct.field(pytree_node=False, default=1)
+    optimiser: Optional[Any] = struct.field(pytree_node=False, default=None)
+    Zoptimiser: Optional[Any] = struct.field(pytree_node=False, default=None)
+    Aoptimiser: Optional[Any] = struct.field(pytree_node=False, default=None)
+
+    is_sparse = True
+    is_multioutput = True
+    is_online = False
+
+    @classmethod
+    def create(
+        cls,
+        kernel,
+        likelihoods,
+        inference,
+        Z,
+        n_latent: int,
+        mean=None,
+        optimiser="default",
+        Zoptimiser=None,
+        Aoptimiser="default",
+        atfrequency: int = 1,
+        key=None,
+    ):
+        if not isinstance(inference, AnalyticVI):
+            raise ValueError("multi-output models support AnalyticVI only")
+        likelihoods = tuple(likelihoods)
+        for lik in likelihoods:
+            check_implemented(lik, inference)
+        rows_per_task = tuple(l.n_latent for l in likelihoods)
+        R = sum(rows_per_task)
+        Q = n_latent
+        mean = ZeroMean() if mean is None else mean
+        kernel, mean = prepare_components(kernel, likelihoods[0], mean, Q)
+        Z = as_2d(Z)
+        if Z.ndim == 2:
+            Z = jnp.broadcast_to(Z, (Q,) + Z.shape)
+        key = jax.random.PRNGKey(0) if key is None else key
+        A = jax.random.normal(key, (R, Q))
+        A = A / jnp.linalg.norm(A, axis=1, keepdims=True)
+        if optimiser == "default":
+            optimiser = optax.adam(0.01)
+        if Aoptimiser == "default":
+            Aoptimiser = optax.adam(0.01)
+        return cls(
+            kernel=kernel,
+            likelihoods=likelihoods,
+            mean=mean,
+            Z=Z,
+            A=A,
+            inference=inference,
+            n_latent=Q,
+            n_tasks=len(likelihoods),
+            rows_per_task=rows_per_task,
+            atfrequency=atfrequency,
+            optimiser=optimiser,
+            Zoptimiser=Zoptimiser,
+            Aoptimiser=Aoptimiser,
+        )
+
+    @property
+    def n_inducing(self):
+        return self.Z.shape[1]
+
+    def row_slices(self):
+        out, start = [], 0
+        for r in self.rows_per_task:
+            out.append((start, start + r))
+            start += r
+        return out
+
+
+def mo_mean_var_f(model, mu_q, var_q):
+    """Mix latent moments into output rows: mu_r = sum_q A_rq mu_q,
+    var_r = sum_q A_rq^2 var_q (single_and_multi_output_utils.jl:24-44)."""
+    mu_f = jnp.einsum("rq,qb->rb", model.A, mu_q)
+    var_f = jnp.einsum("rq,qb->rb", model.A**2, var_q)
+    return mu_f, var_f
+
+
+def mo_local_updates(model, ys, mu_f, var_f, local_list):
+    """Per-task E-steps over the flattened row axis."""
+    new_liks, new_locals = [], []
+    for (lik, y_t, lv), (s, e) in zip(
+        zip(model.likelihoods, ys, local_list), model.row_slices()
+    ):
+        lik2, lv2 = lik.local_updates(y_t, mu_f[s:e], var_f[s:e], lv)
+        new_liks.append(lik2)
+        new_locals.append(lv2)
+    return tuple(new_liks), list(new_locals)
+
+
+def mo_grad_rows(model, ys, local_list):
+    """Stack per-row grad_e_mu / grad_e_sigma: [R, B] each."""
+    gmu, gs = [], []
+    for lik, y_t, lv in zip(model.likelihoods, ys, local_list):
+        gmu.append(lik.grad_e_mu(y_t, lv))
+        gs.append(lik.grad_e_sigma(y_t, lv))
+    return jnp.concatenate(gmu, axis=0), jnp.concatenate(gs, axis=0)
+
+
+def mo_grad_latents(model, gmu_r, gs_r, mu_q):
+    """Mix row gradients back onto the Q latent GPs
+    (single_and_multi_output_utils.jl:48-84):
+      grad_mu_q  = sum_r A_rq (gmu_r - 2 gs_r * sum_{q'!=q} A_rq' mu_q')
+      grad_sig_q = sum_r A_rq^2 gs_r
+    """
+    A = model.A  # [R, Q]
+    mix = jnp.einsum("rq,qb->rb", A, mu_q)  # [R, B] total mixed mean
+    # sum_{q'!=q} A_rq' mu_q' = mix_r - A_rq mu_q
+    cross = mix[:, None, :] - A[:, :, None] * mu_q[None, :, :]  # [R, Q, B]
+    g1 = jnp.einsum("rq,rqb->qb", A, gmu_r[:, None, :] - 2.0 * gs_r[:, None, :] * cross)
+    g2 = jnp.einsum("rq,rb->qb", A**2, gs_r)
+    return g1, g2
+
+
+def mo_update_A(model, state, ys, mu_q, var_q, local_list):
+    """Gradient step on the mixing matrix + unit-norm row projection
+    (single_and_multi_output_utils.jl:87-118)."""
+    if model.Aoptimiser is None:
+        return model, state
+    gmu_r, gs_r = mo_grad_rows(model, ys, local_list)
+    A = model.A
+    mix = jnp.einsum("rq,qb->rb", A, mu_q)
+    cross = mix[:, None, :] - A[:, :, None] * mu_q[None, :, :]  # [R, Q, B]
+    x1 = jnp.einsum("rb,qb->rq", gmu_r, mu_q) - 2.0 * jnp.einsum(
+        "rb,qb,rqb->rq", gs_r, mu_q, cross
+    )
+    x2 = jnp.einsum("rb,qb->rq", gs_r, mu_q**2 + var_q)
+    gA = x1 - 2.0 * A * x2
+    from ..utils.opt import ascent_update
+
+    A_state, dA = ascent_update(model.Aoptimiser, state.A_state, A, gA)
+    A = A + dA
+    A = A / jnp.linalg.norm(A, axis=1, keepdims=True)
+    return model.replace(A=A), state.replace(A_state=A_state)
+
+
+def mo_variational_update(model, state, x, ys):
+    """Multi-output CAVI step (reference: analyticVI.jl:88-111 multioutput
+    branch): per-task E-steps, mixing of gradient expectations onto the Q
+    shared latents, shared natural-gradient update, then the A step."""
+    from ..inference.analytic_vi import apply_natural_gradient, latent_moments
+
+    mu_q, var_q, kappa = latent_moments(model, state, x, state.kmat)
+    mu_f, var_f = mo_mean_var_f(model, mu_q, var_q)
+    liks, local_list = mo_local_updates(model, ys, mu_f, var_f, state.local_vars)
+    model = model.replace(likelihoods=liks)
+    state = state.replace(local_vars=list(local_list))
+    gmu_r, gs_r = mo_grad_rows(model, ys, local_list)
+    g1, g2 = mo_grad_latents(model, gmu_r, gs_r, mu_q)
+    state = apply_natural_gradient(model, state, kappa, g1, g2, x)
+    model, state = mo_update_A(model, state, ys, mu_q, var_q, local_list)
+    return model, state
+
+
+def mo_elbo(model, state, x, ys, kmat=None):
+    """ELBO for multi-output models (reference: analyticVI.jl:299-324)."""
+    from ..inference.analytic_vi import latent_moments, prior_mean_stack
+    from ..ops.kl import gaussian_kl
+
+    kmat = state.kmat if kmat is None else kmat
+    if kmat is not state.kmat:
+        state = state.replace(kmat=kmat)
+    mu_q, var_q, _ = latent_moments(model, state, x, kmat)
+    mu_f, var_f = mo_mean_var_f(model, mu_q, var_q)
+    rho = state.rho
+    tot = 0.0
+    for (lik, y_t, lv), (s, e) in zip(
+        zip(model.likelihoods, ys, state.local_vars), model.row_slices()
+    ):
+        tot += rho * lik.expec_loglik(y_t, mu_f[s:e], var_f[s:e], lv)
+        tot -= jax.lax.stop_gradient(rho * lik.aug_kl(lv, y_t))
+    mu0 = prior_mean_stack(model, x)
+    kl = jax.vmap(gaussian_kl)(state.mu, mu0, state.Sigma, state.kmat["L_K"])
+    return tot - jnp.sum(kl)
+
+
+def mo_predict_f(model, state, X_test, diag=True):
+    """Task-space predictive moments: mix the latent predictive through A
+    (reference: predictions.jl:52-92). Returns ([R, n] mu, [R, n] var)."""
+    from ..training.predictions import _predict_f_var
+
+    mu_q, var_q = _predict_f_var(model, state, X_test, diag=True)
+    return mo_mean_var_f(model, mu_q, var_q)
+
+
+def mo_train(model, Xs, ys, iterations=100, state=None, key=None):
+    """Training driver for multi-output models; all tasks share inputs X
+    (reference MOVGP uses one X with multiple ys)."""
+    from ..training.autotuning import init_hyper_state
+    from ..training.state import TrainState, init_var_posterior
+    from ..inference.analytic_vi import compute_kmat
+
+    X = as_2d(Xs)
+    new_ys, liks = [], []
+    for lik, y_t in zip(model.likelihoods, ys):
+        y2, lik2 = lik.treat_labels(y_t)
+        new_ys.append(y2)
+        liks.append(lik2)
+    ys = tuple(new_ys)
+    model = model.replace(likelihoods=tuple(liks))
+
+    if state is None:
+        key = jax.random.PRNGKey(0) if key is None else key
+        dtype = X.dtype
+        N = X.shape[0]
+        inf = model.inference
+        batch = inf.batchsize if inf.stochastic else N
+        post = init_var_posterior(model.n_latent, model.n_inducing, dtype)
+        local_vars = [
+            lik.init_local_vars(batch, dtype) for lik in model.likelihoods
+        ]
+        opt_state = None
+        if inf.stochastic and inf.optimiser is not None:
+            opt_state = inf.optimiser.init((post["eta1"], post["eta2"]))
+        A_state = (
+            model.Aoptimiser.init(model.A) if model.Aoptimiser is not None else None
+        )
+        state = TrainState(
+            **post,
+            local_vars=local_vars,
+            opt_state=opt_state,
+            hyper_state=init_hyper_state(model),
+            kmat=compute_kmat(model, X),
+            rho=jnp.asarray(N / batch if inf.stochastic else 1.0, dtype),
+            step=jnp.zeros([], jnp.int32),
+            key=key,
+            A_state=A_state,
+        )
+    step = jax.jit(_mo_step)
+    for _ in range(iterations):
+        model, state = step(model, state, X, ys)
+    return model, state
+
+
+def _mo_step(model, state, X, ys):
+    if model.inference.stochastic:
+        key, sub = jax.random.split(state.key)
+        idx = jax.random.randint(sub, (model.inference.batchsize,), 0, X.shape[0])
+        x_b = jnp.take(X, idx, axis=0)
+        ys_b = tuple(jnp.take(y, idx, axis=0) for y in ys)
+        state = state.replace(key=key)
+    else:
+        x_b, ys_b = X, ys
+    model, state = mo_variational_update(model, state, x_b, ys_b)
+    return model, state.replace(step=state.step + 1)
+
+
+class MOVGP(MOSVGP):
+    """Full multi-output VGP: MOSVGP with Z fixed to the training inputs.
+
+    The reference keeps a separate dense implementation (models/MOVGP.jl);
+    sharing the sparse code path with Z = X reproduces it (kappa = I up to
+    jitter) without a second branch.
+    """
+
+    @classmethod
+    def create(cls, X, likelihoods, kernel, inference, n_latent, **kw):
+        X = as_2d(X)
+        return super().create(
+            kernel, likelihoods, inference, X, n_latent, **kw
+        )

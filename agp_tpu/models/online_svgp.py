@@ -1,0 +1,317 @@
+"""OnlineSVGP: streaming sparse variational GP (Bui et al. '17 style).
+
+Equivalent of /root/reference/src/models/OnlineSVGP.jl +
+training/onlinetraining.jl.  The reference *resizes* the inducing set and
+variational parameters as points stream in (onlinetraining.jl:155-197) --
+impossible under XLA's static shapes.  TPU-native design: a fixed-capacity
+inducing buffer Z [L, M_cap, D] with an active mask; inactive slots carry
+identity prior/posterior blocks so every Cholesky/solve stays well-posed,
+and all statistics are masked.  Growth = flipping mask bits inside the
+jitted OIPS scan -- no reallocation, no recompilation.
+
+Streaming update equations (reference analyticVI.jl:183-203,
+onlinetraining.jl:164-180):
+  save-old:  invDa  = -2 eta2 - K^-1         (Sigma_a^-1 - K_a^-1)
+             prev_eta1 = eta1
+             prev_L_a  = (-logdet Sigma + logdet K - mu . eta1)/2
+  update:    eta1 = K^-1 mu0 + kappa^T gmu + kappa_a^T prev_eta1
+             eta2 = -(kappa^T Diag(gs) kappa + kappa_a^T invDa kappa_a / 2
+                      + K^-1/2)
+  extraKL (KLdivergences.jl:37-54):
+     prev_L_a - 1/2 tr(invDa (Ktilde_a + kappa_a Sigma kappa_a^T))
+     + prev_eta1 . (kappa_a mu) - 1/2 (kappa_a mu)^T invDa (kappa_a mu)
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import jitter
+from ..inducing.algorithms import OIPS, inducingpoints, oips_update
+from ..inference.config import AnalyticVI, InferenceConfig
+from ..kernels import batch_diag, batch_gram
+from ..likelihoods.base import Likelihood
+from ..means import PriorMean, ZeroMean, batch_call
+from ..ops import linalg
+from .base import as_2d, check_implemented, prepare_components
+
+
+class OnlineSVGP(struct.PyTreeNode):
+    kernel: Any
+    likelihood: Likelihood
+    mean: PriorMean
+    Z: jnp.ndarray  # [L, Mc, D] slot buffer
+    z_mask: jnp.ndarray  # [L, Mc] active flags
+    Za: jnp.ndarray  # [L, Mc, D] previous inducing set
+    za_mask: jnp.ndarray  # [L, Mc]
+    inference: InferenceConfig = struct.field(pytree_node=False)
+    n_latent: int = struct.field(pytree_node=False)
+    capacity: int = struct.field(pytree_node=False, default=128)
+    rho_accept: float = struct.field(pytree_node=False, default=0.8)
+    atfrequency: int = struct.field(pytree_node=False, default=1)
+    optimiser: Optional[Any] = struct.field(pytree_node=False, default=None)
+
+    is_sparse = True
+    is_multioutput = False
+    is_online = True
+
+    @classmethod
+    def create(
+        cls,
+        kernel,
+        likelihood,
+        inference=None,
+        Zalg: Optional[OIPS] = None,
+        n_dim: int = 1,
+        capacity: int = 128,
+        mean=None,
+        optimiser="default",
+        atfrequency: int = 1,
+    ):
+        inference = AnalyticVI() if inference is None else inference
+        if not isinstance(inference, AnalyticVI):
+            raise ValueError("OnlineSVGP supports AnalyticVI only")
+        check_implemented(likelihood, inference)
+        Zalg = OIPS(capacity=capacity) if Zalg is None else Zalg
+        L = likelihood.n_latent
+        mean = ZeroMean() if mean is None else mean
+        kernel, mean = prepare_components(kernel, likelihood, mean, L)
+        Mc = capacity
+        Z = jnp.zeros((L, Mc, n_dim))
+        z_mask = jnp.zeros((L, Mc), dtype=bool)
+        if optimiser == "default":
+            optimiser = optax.adam(0.01)
+        return cls(
+            kernel=kernel,
+            likelihood=likelihood,
+            mean=mean,
+            Z=Z,
+            z_mask=z_mask,
+            Za=Z,
+            za_mask=z_mask,
+            inference=inference,
+            n_latent=L,
+            capacity=Mc,
+            rho_accept=Zalg.rho,
+            atfrequency=atfrequency,
+            optimiser=optimiser,
+        )
+
+    @property
+    def n_inducing(self):
+        return self.capacity
+
+
+# ----------------------------------------------------------- masked kernels
+def masked_kmat(model: OnlineSVGP):
+    """Cholesky/inverse of the masked prior covariance: identity blocks on
+    inactive slots keep the factorization well-posed."""
+
+    def one(k, Z, m):
+        K = k.gram(Z, Z)
+        mm = jnp.outer(m, m)
+        K = jnp.where(mm, K, 0.0) + jnp.diag(jnp.where(m, jitter(K.dtype), 1.0))
+        L_K = jnp.linalg.cholesky(K)
+        K_inv = linalg.chol_inv(L_K)
+        return L_K, K_inv
+
+    L_K, K_inv = jax.vmap(one)(model.kernel, model.Z, model.z_mask)
+    return {"L_K": L_K, "K_inv": K_inv}
+
+
+def masked_kappa(model: OnlineSVGP, x, kmat):
+    Knm = batch_gram(model.kernel, x, model.Z)  # [L, B, Mc]
+    Knm = Knm * model.z_mask[:, None, :]
+    kappa = jnp.einsum("lbm,lmn->lbn", Knm, kmat["K_inv"])
+    kdiag = batch_diag(model.kernel, x)
+    Ktilde = kdiag + jitter(Knm.dtype) - linalg.diag_ABt(kappa, Knm)
+    return Knm, kappa, jnp.maximum(Ktilde, 1e-12)
+
+
+def masked_kappa_a(model: OnlineSVGP, kmat):
+    """kappa_a = K(Za, Z) K^-1 and Ktilde_a = K_a - kappa_a Kab^T, masked."""
+    Kab = jax.vmap(lambda k, Za, Z: k.gram(Za, Z))(model.kernel, model.Za, model.Z)
+    mm = model.za_mask[:, :, None] * model.z_mask[:, None, :]
+    Kab = jnp.where(mm, Kab, 0.0)
+    kappa_a = jnp.einsum("lam,lmn->lan", Kab, kmat["K_inv"])
+    Ka = jax.vmap(lambda k, Za: k.gram(Za, Za))(model.kernel, model.Za)
+    mma = model.za_mask[:, :, None] * model.za_mask[:, None, :]
+    Ka = jnp.where(mma, Ka, 0.0) + jax.vmap(jnp.diag)(
+        jnp.where(model.za_mask, jitter(Ka.dtype), 0.0)
+    )
+    Ktilde_a = Ka - jnp.einsum("lan,lbn->lab", kappa_a, Kab)
+    return kappa_a, Ktilde_a
+
+
+def masked_mu0(model: OnlineSVGP):
+    mu0 = batch_call(model.mean, model.Z, model.n_latent)
+    return mu0 * model.z_mask
+
+
+# ------------------------------------------------------------ streaming ops
+def save_old_parameters(model: OnlineSVGP, state):
+    """Zₐ <- Z, invDa = -2 eta2 - K^-1, prev_eta1, prev_L_a
+    (reference: onlinetraining.jl:164-180).  With the identity convention on
+    inactive slots, invDa is exactly zero there."""
+    kmat = state.kmat
+    invDa = -2.0 * state.eta2 - kmat["K_inv"]
+    invDa = linalg.symmetrize(invDa)
+    prev_eta1 = state.eta1
+
+    def logdets(Sigma_l, L_l):
+        L_S = jnp.linalg.cholesky(linalg.symmetrize(Sigma_l))
+        return -linalg.chol_logdet(L_S) + linalg.chol_logdet(L_l)
+
+    ld = jax.vmap(logdets)(state.Sigma, kmat["L_K"])
+    prev_L_a = (ld - jnp.sum(state.mu * state.eta1, axis=-1)) / 2.0
+    model = model.replace(Za=model.Z, za_mask=model.z_mask)
+    state = state.replace(
+        previous={"invDa": invDa, "prev_eta1": prev_eta1, "prev_L_a": prev_L_a}
+    )
+    return model, state
+
+
+def update_Z(model: OnlineSVGP, x):
+    """Grow the inducing buffer with the OIPS accept rule (lax.scan)."""
+
+    def one(k, Z, m):
+        return oips_update(k, Z, m, x, model.rho_accept)
+
+    Z, z_mask = jax.vmap(one)(model.kernel, model.Z, model.z_mask)
+    return model.replace(Z=Z, z_mask=z_mask)
+
+
+def online_variational_update(model: OnlineSVGP, state, x, y):
+    """Streaming natural-gradient update with previous-model correction."""
+    kmat = state.kmat
+    _, kappa, Ktilde = masked_kappa(model, x, kmat)
+    mu_f = jnp.einsum("lbm,lm->lb", kappa, state.mu)
+    kS = jnp.einsum("lbm,lmn->lbn", kappa, state.Sigma)
+    var_f = Ktilde + linalg.diag_ABt(kS, kappa)
+
+    lik, local = model.likelihood.local_updates(y, mu_f, var_f, state.local_vars)
+    model = model.replace(likelihood=lik)
+    gmu = lik.grad_e_mu(y, local)
+    gs = lik.grad_e_sigma(y, local)
+
+    K_inv = kmat["K_inv"]
+    mu0 = masked_mu0(model)
+    Kinv_mu0 = jnp.einsum("lmn,ln->lm", K_inv, mu0)
+    kappa_a, _ = masked_kappa_a(model, kmat)
+    prev = state.previous
+
+    eta1 = (
+        Kinv_mu0
+        + jnp.einsum("lbm,lb->lm", kappa, gmu)
+        + jnp.einsum("lam,la->lm", kappa_a, prev["prev_eta1"])
+    )
+    stat2 = jnp.einsum("lbm,lb,lbn->lmn", kappa, gs, kappa)
+    corr2 = jnp.einsum("lam,lab,lbn->lmn", kappa_a, prev["invDa"], kappa_a) / 2.0
+    eta2 = -(stat2 + corr2 + 0.5 * K_inv)
+    eta2 = linalg.symmetrize(eta2)
+    # keep inactive slots at their init convention so nat_to_moments is
+    # well-posed: eta2 diag -1/2, eta1 0
+    inact = ~model.z_mask
+    eta1 = jnp.where(inact, 0.0, eta1)
+    eta2 = jnp.where(
+        inact[:, :, None] | inact[:, None, :],
+        jnp.broadcast_to(-0.5 * jnp.eye(model.capacity, dtype=eta2.dtype), eta2.shape),
+        eta2,
+    )
+    mu, Sigma = jax.vmap(linalg.nat_to_moments)(eta1, eta2)
+    return model, state.replace(
+        eta1=eta1, eta2=eta2, mu=mu, Sigma=Sigma, local_vars=local
+    )
+
+
+def online_extra_kl(model: OnlineSVGP, state):
+    """KL between the time-t and time-t+1 posteriors
+    (reference: functions/KLdivergences.jl:37-54)."""
+    prev = state.previous
+    kmat = state.kmat
+    kappa_a, Ktilde_a = masked_kappa_a(model, kmat)
+    ka_mu = jnp.einsum("lam,lm->la", kappa_a, state.mu)
+    kSk = jnp.einsum("lam,lmn,lbn->lab", kappa_a, state.Sigma, kappa_a)
+    kl = prev["prev_L_a"]
+    kl = kl - 0.5 * (
+        jnp.einsum("lab,lab->l", prev["invDa"], Ktilde_a)
+        + jnp.einsum("lab,lab->l", prev["invDa"], kSk)
+    )
+    kl = kl + jnp.einsum("la,la->l", prev["prev_eta1"], ka_mu)
+    kl = kl - 0.5 * jnp.einsum("la,lab,lb->l", ka_mu, prev["invDa"], ka_mu)
+    return jnp.sum(kl)
+
+
+# -------------------------------------------------------------- driver
+def online_train(model: OnlineSVGP, X, y, state=None, iterations: int = 20, key=None):
+    """Train on one streaming batch; thread (model, state) across batches
+    (reference: onlinetraining.jl:36-145).  First batch initializes Z."""
+    from ..training.autotuning import init_hyper_state
+    from ..training.state import TrainState, init_var_posterior
+
+    X = as_2d(X)
+    y, lik = model.likelihood.treat_labels(y)
+    model = model.replace(likelihood=lik)
+    key = jax.random.PRNGKey(0) if key is None else key
+    dtype = X.dtype
+    B = X.shape[0]
+
+    first = state is None
+    if first:
+        # initialize inducing set from the first batch (host-side OIPS)
+        Z0 = inducingpoints(
+            OIPS(rho=model.rho_accept, capacity=model.capacity),
+            X,
+            kernel=jax.tree_util.tree_map(lambda l: l[0], model.kernel),
+        )
+        k0 = Z0.shape[0]
+        Z = model.Z.at[:, :k0, :].set(jnp.broadcast_to(Z0, (model.n_latent,) + Z0.shape).astype(dtype))
+        z_mask = model.z_mask.at[:, :k0].set(True)
+        model = model.replace(Z=Z, z_mask=z_mask)
+        post = init_var_posterior(model.n_latent, model.capacity, dtype)
+        Mc = model.capacity
+        state = TrainState(
+            **post,
+            local_vars=model.likelihood.init_local_vars(B, dtype),
+            opt_state=None,
+            hyper_state=init_hyper_state(model),
+            kmat=masked_kmat(model),
+            rho=jnp.asarray(1.0, dtype),
+            step=jnp.zeros([], jnp.int32),
+            key=key,
+            previous={
+                "invDa": jnp.zeros((model.n_latent, Mc, Mc), dtype),
+                "prev_eta1": jnp.zeros((model.n_latent, Mc), dtype),
+                "prev_L_a": jnp.zeros((model.n_latent,), dtype),
+            },
+        )
+    else:
+        model, state = jax.jit(save_old_parameters)(model, state)
+        model = jax.jit(update_Z)(model, X)
+        state = state.replace(kmat=masked_kmat(model))
+        # new batch size may differ: re-init local vars
+        state = state.replace(
+            local_vars=model.likelihood.init_local_vars(B, dtype)
+        )
+
+    step = jax.jit(_online_step)
+    for i in range(iterations):
+        model, state = step(model, state, X, y)
+    state = state.replace(kmat=masked_kmat(model))
+    return model, state
+
+
+def _online_step(model, state, X, y):
+    model, state = online_variational_update(model, state, X, y)
+    return model, state.replace(step=state.step + 1)
+
+
+def online_elbo(model: OnlineSVGP, state, x, y):
+    """ELBO with the streaming extraKL term."""
+    from ..inference.analytic_vi import elbo
+
+    return elbo(model, state, x, y)

@@ -1,0 +1,101 @@
+"""Dense linear-algebra primitives for the augmented-GP compute path.
+
+TPU-first design notes
+----------------------
+The hot shapes here are small-to-medium (M = 32..512 inducing points) but are
+executed every CAVI iteration, batched over the latent-GP axis ``L`` via
+``vmap``.  All ops are jit-compatible, static-shaped, and keep data in
+float32 (or float64 on CPU parity runs).  XLA maps the matmuls
+(``kappa = Knm Kmm^-1``, ``kappa^T diag(theta) kappa``) onto the MXU; the
+triangular solves use the XLA `TriangularSolve` HLO.
+
+Functional equivalents of the reference's Cholesky-centric helpers
+(/root/reference/src/functions/utils.jl:104-108,
+ /root/reference/src/gpblocks/latentgp.jl:201-237), re-derived for batched
+array-of-latents layout instead of per-latent Julia structs.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import jitter
+
+
+def safe_cholesky(K: jnp.ndarray, jitt: float | None = None) -> jnp.ndarray:
+    """Lower Cholesky factor of ``K + jitt*I`` (jitter scaled by dtype)."""
+    if jitt is None:
+        jitt = jitter(K.dtype)
+    M = K.shape[-1]
+    return jnp.linalg.cholesky(K + jitt * jnp.eye(M, dtype=K.dtype))
+
+
+def chol_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``A x = B`` given the lower Cholesky factor ``L`` of ``A``."""
+    y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+def chol_inv(L: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``A`` from its lower Cholesky factor, symmetrized."""
+    A_inv = chol_solve(L, jnp.eye(L.shape[-1], dtype=L.dtype))
+    return symmetrize(A_inv)
+
+
+def chol_logdet(L: jnp.ndarray) -> jnp.ndarray:
+    """log|A| from the lower Cholesky factor of A."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+def invquad(L: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """x^T A^-1 x given the lower Cholesky factor of A
+    (reference: functions/utils.jl `invquad`)."""
+    v = jax.scipy.linalg.solve_triangular(L, x, lower=True)
+    return jnp.sum(v * v, axis=0) if v.ndim == 1 else jnp.sum(v * v)
+
+
+def symmetrize(A: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (A + jnp.swapaxes(A, -1, -2))
+
+
+def diag_ABt(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """diag(A @ B^T) without forming the product
+    (reference: functions/utils.jl:66-69)."""
+    return jnp.sum(A * B, axis=-1)
+
+
+def trace_ABt(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """tr(A @ B^T) = <A, B> (reference: functions/utils.jl:60-63)."""
+    return jnp.sum(A * B)
+
+
+def kappa_diag_theta_kappa(kappa: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+    """kappa^T diag(theta) kappa -- the [B,M]x[B]->[M,M] contraction that is
+    the single cross-data reduction of a sparse CAVI step
+    (reference: functions/utils.jl:76-84).  On a sharded data axis this is the
+    op whose result gets `psum`-ed."""
+    return jnp.einsum(
+        "bm,b,bn->mn", kappa, theta, kappa, preferred_element_type=kappa.dtype
+    )
+
+
+def nat_to_moments(eta1: jnp.ndarray, eta2: jnp.ndarray):
+    """Convert natural parameters to (mu, Sigma):
+    Sigma = -1/2 eta2^-1, mu = Sigma eta1
+    (reference: inference/inference.jl:25-28).
+
+    eta2 is symmetric negative-definite; we factorize -eta2 (PD) by Cholesky.
+    """
+    M = eta1.shape[-1]
+    L = jnp.linalg.cholesky(-(symmetrize(eta2)))
+    Sigma = 0.5 * chol_solve(L, jnp.eye(M, dtype=eta1.dtype))
+    Sigma = symmetrize(Sigma)
+    mu = Sigma @ eta1
+    return mu, Sigma
+
+
+def moments_to_nat(mu: jnp.ndarray, Sigma: jnp.ndarray):
+    """Inverse of :func:`nat_to_moments`: eta1 = Sigma^-1 mu, eta2 = -1/2 Sigma^-1."""
+    L = jnp.linalg.cholesky(symmetrize(Sigma))
+    Sigma_inv = chol_inv(L)
+    return Sigma_inv @ mu, -0.5 * Sigma_inv

@@ -1,0 +1,96 @@
+"""Device mesh + sharding layout for data-parallel CAVI.
+
+The reference is single-process with no distribution of any kind
+(SURVEY.md section 2.8).  The TPU-native scaling design:
+
+* the N (data) axis is sharded across the mesh: X, y, and every local
+  variable (theta, gamma, c, ...) are embarrassingly per-datapoint;
+* the ONLY cross-device reductions of a CAVI step are the M-dimensional
+  statistics kappa^T (rho grad_e_mu) ([M]) and kappa^T diag(theta) kappa
+  ([M, M]) -- under jit+GSPMD these einsum contractions over the sharded
+  batch axis lower to `psum`s over ICI;
+* eta1/eta2/mu/Sigma/kernel params are tiny ([M], [M,M]) and replicated.
+
+Multi-host: the same program runs under `jax.distributed.initialize` with a
+host x chip mesh; the statistics psum rides ICI within a slice and DCN
+across hosts.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
+    """Place arrays sharded along their leading (data) axis; pads to a
+    multiple of the mesh size if needed."""
+    n = mesh.devices.size
+    out = []
+    for a in arrays:
+        a = jnp.asarray(a)
+        rem = (-a.shape[0]) % n
+        if rem:
+            pad = jnp.repeat(a[:1], rem, axis=0)
+            a = jnp.concatenate([a, pad], axis=0)
+        spec = P(axis_name, *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully-replicated placement of a pytree (model, state)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def data_parallel_step(mesh: Mesh, axis_name: str = "data"):
+    """Build a jitted data-parallel CAVI step: X/y sharded along the data
+    axis, model/state replicated.  GSPMD turns the [M]/[M,M] statistic
+    contractions into psums over `axis_name` -- no manual collectives.
+    """
+    from ..inference.analytic_vi import variational_update
+
+    data_spec = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        in_shardings=(None, None, data_spec, data_spec),
+        out_shardings=None,
+    )
+    def step(model, state, x, y):
+        model, state = variational_update(model, state, x, y)
+        return model, state.replace(step=state.step + 1)
+
+    return step
+
+
+def sharded_train(model, X, y, iterations: int, mesh: Mesh | None = None, state=None, key=None):
+    """Data-parallel training driver: one jitted CAVI step per iteration
+    over the full sharded dataset (the SVI analog shards each minibatch)."""
+    from ..training.train import init_state
+
+    mesh = make_mesh() if mesh is None else mesh
+    from ..models.base import as_2d
+
+    X = as_2d(X)
+    y, lik = model.likelihood.treat_labels(y)
+    model = model.replace(likelihood=lik)
+    Xs, ys = shard_batch(mesh, X, y)
+    if state is None:
+        state = init_state(model, Xs, ys, key)
+    step = data_parallel_step(mesh)
+    for _ in range(iterations):
+        model, state = step(model, state, Xs, ys)
+    return model, state

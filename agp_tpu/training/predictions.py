@@ -1,0 +1,118 @@
+"""Prediction functions: latent predictive, label prediction, predictive
+probabilities.
+
+Equivalent of /root/reference/src/training/predictions.jl:
+  mu*    = k*^T K^-1 mu
+  A      = K^-1 (I - Sigma K^-1)
+  var*   = k** + jitt - diag(k* A k*^T)
+(predictions.jl:25-50), pushed through the likelihood with 100-node
+Gauss-Hermite quadrature in `proba_y` (predictions.jl:4, compute_proba).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import jitter
+from ..kernels import batch_diag, batch_gram
+from ..models.gp import GP
+from ..ops import linalg
+
+
+def _predict_f_var(model, state, X_test, diag: bool = True, full_cov: bool = False):
+    """Latent predictive mean/variance for variational models, [L, n]."""
+    Z = model.Z  # [L, M, D] (train inputs for full models)
+    k_star = batch_gram(model.kernel, X_test, Z)  # [L, n, M]
+    K_inv = state.kmat["K_inv"]
+    mu = state.mu
+    alpha = jnp.einsum("lmn,ln->lm", K_inv, mu)
+    mu_f = jnp.einsum("lnm,lm->ln", k_star, alpha)
+    if not diag and not full_cov:
+        return mu_f, None
+    # A = K^-1 (I - Sigma K^-1)
+    M = K_inv.shape[-1]
+    eye = jnp.eye(M, dtype=K_inv.dtype)
+    A = jnp.einsum(
+        "lmn,lnk->lmk",
+        K_inv,
+        eye - jnp.einsum("lmn,lnk->lmk", state.Sigma, K_inv),
+    )
+    if full_cov:
+        k_ss = batch_gram(model.kernel, X_test, X_test)
+        cov = k_ss + jitter(mu_f.dtype) * eye[: X_test.shape[0], : X_test.shape[0]] - jnp.einsum(
+            "lnm,lmk,lpk->lnp", k_star, A, k_star
+        )
+        return mu_f, cov
+    k_ss = batch_diag(model.kernel, X_test) + jitter(mu_f.dtype)
+    var_f = k_ss - linalg.diag_ABt(jnp.einsum("lnm,lmk->lnk", k_star, A), k_star)
+    return mu_f, jnp.maximum(var_f, 0.0)
+
+
+def _predict_f_gp(model: GP, state, X_test, diag=True):
+    k_star = batch_gram(model.kernel, X_test, model.train_x)[0]  # [n, N]
+    mu_f = k_star @ state.alpha
+    L = state.chol_Sigma
+    v = jax.scipy.linalg.solve_triangular(L, k_star.T, lower=True)
+    if diag:
+        k_ss = batch_diag(model.kernel, X_test)[0] + jitter(mu_f.dtype)
+        var_f = k_ss - jnp.sum(v * v, axis=0)
+        return mu_f[None, :], jnp.maximum(var_f, 0.0)[None, :]
+    k_ss = batch_gram(model.kernel, X_test, X_test)[0]
+    cov = k_ss - v.T @ v
+    return mu_f[None, :], cov[None, :]
+
+
+def predict_f(model, state, X_test, cov: bool = False, diag: bool = True):
+    """Latent GP predictive (reference: predictions.jl predict_f).
+
+    Returns mu (and var if cov=True); leading latent axis squeezed away for
+    single-latent models.
+    """
+    from ..models.base import as_2d
+
+    X_test = as_2d(jnp.asarray(X_test))
+    if isinstance(model, GP):
+        mu_f, var_f = _predict_f_gp(model, state, X_test, diag=diag)
+    else:
+        mu_f, var_f = _predict_f_var(
+            model, state, X_test, diag=diag or cov, full_cov=cov and not diag
+        )
+    if model.n_latent == 1:
+        mu_f = mu_f[0]
+        var_f = None if var_f is None else var_f[0]
+    return (mu_f, var_f) if cov else mu_f
+
+
+def predict_y(model, state, X_test):
+    """Label-space point prediction (reference: predictions.jl predict_y)."""
+    from ..models.base import as_2d
+
+    X_test = as_2d(jnp.asarray(X_test))
+    if isinstance(model, GP):
+        mu_f, _ = _predict_f_gp(model, state, X_test)
+        return model.likelihood.predict_y(mu_f[0])
+    mu_f, _ = _predict_f_var(model, state, X_test, diag=False)
+    if model.n_latent == 1 and model.likelihood.n_latent == 1:
+        return model.likelihood.predict_y(mu_f[0])
+    return model.likelihood.predict_y(mu_f)
+
+
+def proba_y(model, state, X_test, key=None, **kwargs):
+    """Predictive distribution of y (reference: predictions.jl proba_y)."""
+    from ..models.base import as_2d
+
+    X_test = as_2d(jnp.asarray(X_test))
+    if isinstance(model, GP):
+        mu_f, var_f = _predict_f_gp(model, state, X_test)
+        return model.likelihood.compute_proba(mu_f[0], var_f[0])
+    mu_f, var_f = _predict_f_var(model, state, X_test, diag=True)
+    lik = model.likelihood
+    if lik.n_latent == 1:
+        return lik.compute_proba(mu_f[0], var_f[0])
+    from ..likelihoods.multiclass import MultiClassLikelihood
+
+    if isinstance(lik, MultiClassLikelihood):
+        if key is None:
+            key = jax.random.PRNGKey(42)
+        return lik.compute_proba(mu_f, var_f, key=key, **kwargs)
+    return lik.compute_proba(mu_f, var_f)

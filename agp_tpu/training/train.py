@@ -1,0 +1,254 @@
+"""Training drivers.
+
+Equivalent of /root/reference/src/training/training.jl, re-structured for
+XLA: the per-iteration work (minibatch gather, kernel matrices, local
+updates, natural-gradient update) is ONE jitted program; the Python loop
+only counts iterations and runs user callbacks.  Minibatch indices are
+drawn on-device (threaded PRNG key in the state) so steady-state training
+does zero host->device transfers -- the reference samples indices host-side
+(training/training.jl:51-55), which would serialize a TPU pipeline.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..inference import analytic_vi
+from ..inference.config import Analytic, AnalyticVI
+from ..models.gp import GP, analytic_update
+from ..training import autotuning
+from ..training.state import TrainState, init_var_posterior
+from .state import TrainState
+
+
+def init_state(model, X=None, y=None, key=None) -> TrainState:
+    """Build the initial TrainState pytree
+    (reference: training/states.jl:1-9)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    if isinstance(model, GP):
+        return model.init_state(key)
+
+    X = model.train_x if X is None else X
+    dtype = X.dtype
+    N = X.shape[0]
+    inf = model.inference
+    batch = inf.batchsize if inf.stochastic else N
+    M = model.n_inducing if model.is_sparse else N
+    L = model.n_latent
+
+    post = init_var_posterior(L, M, dtype)
+    numerical = inf.name in ("QuadratureVI", "MCIntegrationVI")
+    if numerical:
+        local_vars = {}
+        opt_state = inf.optimiser.init((post["mu"], post["Sigma"]))
+    else:
+        local_vars = model.likelihood.init_local_vars(batch, dtype)
+        opt_state = None
+        if getattr(inf, "stochastic", False) and getattr(inf, "optimiser", None) is not None:
+            opt_state = inf.optimiser.init((post["eta1"], post["eta2"]))
+    hyper_state = autotuning.init_hyper_state(model)
+    kmat = analytic_vi.compute_kmat(model, X)
+    rho = jnp.asarray(N / batch if inf.stochastic else 1.0, dtype)
+    prior_state = None
+    if getattr(model, "is_tprior", False):
+        prior_state = {
+            "l2": jnp.ones((L,), dtype),
+            "chi": jnp.ones((L,), dtype),
+        }
+    return TrainState(
+        **post,
+        prior_state=prior_state,
+        local_vars=local_vars,
+        opt_state=opt_state,
+        hyper_state=hyper_state,
+        kmat=kmat,
+        rho=rho,
+        step=jnp.zeros([], jnp.int32),
+        key=key,
+    )
+
+
+@jax.jit
+def _vi_step(model, state: TrainState, X, y):
+    """One jitted CAVI iteration, including the on-device minibatch draw."""
+    if model.inference.stochastic:
+        key, sub = jax.random.split(state.key)
+        idx = jax.random.randint(
+            sub, (model.inference.batchsize,), 0, X.shape[0]
+        )
+        x_b = jnp.take(X, idx, axis=0)
+        y_b = jnp.take(y, idx, axis=0)
+        state = state.replace(key=key)
+    else:
+        x_b, y_b = X, y
+    if model.inference.name in ("QuadratureVI", "MCIntegrationVI"):
+        from ..inference import numerical_vi
+
+        model, state = numerical_vi.variational_update(model, state, x_b, y_b)
+    else:
+        model, state = analytic_vi.variational_update(model, state, x_b, y_b)
+    return model, state.replace(step=state.step + 1)
+
+
+@jax.jit
+def _hyper_step(model, state: TrainState, X, y):
+    if model.inference.stochastic:
+        key, sub = jax.random.split(state.key)
+        idx = jax.random.randint(sub, (model.inference.batchsize,), 0, X.shape[0])
+        x_b = jnp.take(X, idx, axis=0)
+        y_b = jnp.take(y, idx, axis=0)
+        state = state.replace(key=key)
+    else:
+        x_b, y_b = X, y
+    return autotuning.hyper_step(model, state, x_b, y_b)
+
+
+@jax.jit
+def _elbo_full(model, state, X, y):
+    from ..inference.objective import objective
+
+    return objective(model, state, X, y)
+
+
+def train(
+    model,
+    X=None,
+    y=None,
+    iterations: int = 100,
+    state: Optional[TrainState] = None,
+    key=None,
+    callback: Optional[Callable] = None,
+    verbose: int = 0,
+):
+    """Train a model for `iterations` CAVI steps
+    (reference: training/training.jl:13-111).
+
+    Returns (model, state): models are immutable, so hyperparameter and
+    likelihood-parameter updates produce a new model pytree.
+    """
+    if isinstance(model, GP):
+        return _train_gp(model, iterations, state, key, callback, verbose)
+
+    # resolve data: VGP carries it; SVGP receives it here
+    if X is None:
+        X, y = model.train_x, model.train_y
+        if X is None:
+            raise ValueError("this model needs X, y passed to train()")
+    else:
+        from ..models.base import as_2d
+
+        X = as_2d(X)
+        y, lik = model.likelihood.treat_labels(y)
+        model = model.replace(likelihood=lik)
+        if hasattr(model, "train_x"):
+            model = model.replace(train_x=X, train_y=y)
+
+    inf = model.inference
+    if inf.stochastic:
+        if not (0 < inf.batchsize <= X.shape[0]):
+            raise ValueError(
+                f"batchsize {inf.batchsize} is not in (0, {X.shape[0]}]"
+            )
+
+    if state is None:
+        state = init_state(model, X, y, key)
+
+    do_hyper = model.optimiser is not None
+    for i in range(1, iterations + 1):
+        model, state = _vi_step(model, state, X, y)
+        if callback is not None:
+            callback(model, state, int(i))
+        # reference: hyper-update every `atfrequency` iters, from iter 3,
+        # never on the last iteration (training/training.jl:66-70)
+        if (
+            do_hyper
+            and i % model.atfrequency == 0
+            and i >= 3
+            and i != iterations
+        ):
+            model, state = _hyper_step(model, state, X, y)
+        if verbose >= 2:
+            if inf.stochastic:
+                b = inf.batchsize
+                e = _elbo_full(model, state, X[:b], y[:b])
+            else:
+                e = _elbo_full(model, state, X, y)
+            print(f"iter {i}: ELBO = {float(e):.6f}")
+    # refresh kernel matrices for prediction (training/training.jl:107-109)
+    state = state.replace(kmat=analytic_vi.compute_kmat(model, X))
+    return model, state
+
+
+def _train_gp(model, iterations, state, key, callback, verbose):
+    """Exact-GP loop: analytic refresh + optional noise/hyper steps
+    (reference: models/GP.jl:80-86, training/training.jl:127-131)."""
+    if state is None:
+        state = model.init_state(key)
+    step = _gp_analytic_step
+    for i in range(1, iterations + 1):
+        model, state = step(model, state)
+        if (
+            model.optimiser is not None
+            and i % model.atfrequency == 0
+            and i >= 3
+            and i != iterations
+        ):
+            model, state = _gp_hyper_step(model, state)
+        if callback is not None:
+            callback(model, state, int(i))
+        if verbose >= 2:
+            from ..models.gp import log_py
+
+            print(f"iter {i}: log p(y) = {float(log_py(model, state)):.6f}")
+    model, state = step(model, state)
+    return model, state
+
+
+_gp_analytic_step = jax.jit(analytic_update)
+
+
+@jax.jit
+def _gp_hyper_step(model, state):
+    """Gradient ascent on the marginal likelihood wrt kernel/mean params."""
+    from ..kernels import batch_gram
+    from ..means import batch_call
+    from ..ops import linalg
+
+    log_kernel = jax.tree_util.tree_map(jnp.log, model.kernel)
+
+    def neg_logpy(log_k, mean):
+        kernel = jax.tree_util.tree_map(jnp.exp, log_k)
+        K = batch_gram(kernel, model.train_x)[0]
+        Sigma = K + model.likelihood.sigma2 * jnp.eye(K.shape[0], dtype=K.dtype)
+        L = jnp.linalg.cholesky(Sigma)
+        mu0 = batch_call(mean, model.train_x, 1)[0]
+        r = model.train_y - mu0
+        quad = linalg.invquad(L, r)
+        return 0.5 * (quad + linalg.chol_logdet(L))
+
+    g_k, g_m = jax.grad(neg_logpy, argnums=(0, 1))(log_kernel, model.mean)
+    hyper = dict(state.hyper_state)
+    k_up, hyper["kernel"] = model.optimiser.update(g_k, hyper["kernel"], log_kernel)
+    new_kernel = jax.tree_util.tree_map(
+        lambda p, u: jnp.exp(p + u), log_kernel, k_up
+    )
+    m_up, hyper["mean"] = model.optimiser.update(g_m, hyper["mean"], model.mean)
+    new_mean = jax.tree_util.tree_map(lambda p, u: p + u, model.mean, m_up)
+    return (
+        model.replace(kernel=new_kernel, mean=new_mean),
+        state.replace(hyper_state=hyper),
+    )
+
+
+def elbo(model, state, X=None, y=None):
+    """Public ELBO evaluation (reference: functions/ELBO.jl)."""
+    if isinstance(model, GP):
+        from ..models.gp import log_py
+
+        return log_py(model, state)
+    if X is None:
+        X, y = model.train_x, model.train_y
+    return _elbo_full(model, state, X, y)

@@ -1,0 +1,131 @@
+"""Benchmark: natural-gradient CAVI iterations/s/chip (SVGP M=64).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md), so `vs_baseline` is the
+speedup over a faithful single-core numpy/BLAS implementation of the same
+CAVI iteration -- the closest stand-in for the reference's Julia/OpenBLAS
+execution model, measured on this machine.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+import numpy as np
+
+
+def build_workload(dtype):
+    import jax
+    import jax.numpy as jnp
+
+    import agp_tpu as agp
+    from agp_tpu.training.train import init_state
+
+    N, D, M, B = 200_000, 20, 64, 4096
+    key = jax.random.PRNGKey(0)
+    kx, kw = jax.random.split(key)
+    X = jax.random.normal(kx, (N, D), dtype=dtype)
+    w = jax.random.normal(kw, (D,), dtype=dtype)
+    y = jnp.where(X @ w > 0, 1.0, -1.0).astype(dtype)
+
+    kern = agp.SqExponentialKernel(
+        lengthscale=jnp.asarray(2.0, dtype), variance=jnp.asarray(1.0, dtype)
+    )
+    lik = agp.LogisticLikelihood.create()
+    model = agp.SVGP.create(kern, lik, agp.AnalyticSVI(B), X[:M], optimiser=None)
+    y2, tl = model.likelihood.treat_labels(y)
+    model = model.replace(likelihood=tl)
+    state = init_state(model, X, y2)
+    return model, state, X, y2
+
+
+def bench_jax(iters=200):
+    import jax
+
+    from agp_tpu.training.train import _vi_step
+
+    dtype = jax.numpy.float32
+    model, state, X, y = build_workload(dtype)
+    # warmup / compile
+    model, state = _vi_step(model, state, X, y)
+    jax.block_until_ready(state.mu)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        model, state = _vi_step(model, state, X, y)
+    jax.block_until_ready(state.mu)
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def bench_numpy_baseline(iters=20):
+    """Same CAVI iteration in single-thread-ish numpy/BLAS: the stand-in for
+    the reference's per-iteration cost model (kernel matrices recomputed per
+    minibatch, closed-form logistic E-step, natural-gradient update)."""
+    rng = np.random.RandomState(0)
+    N, D, M, B = 200_000, 20, 64, 4096
+    X = rng.randn(N, D)
+    w = rng.randn(D)
+    y = np.where(X @ w > 0, 1.0, -1.0)
+    Z = X[:M]
+    ls, var = 2.0, 1.0
+
+    def gram(A, C):
+        d2 = (
+            (A * A).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * A @ C.T
+        ) / ls**2
+        return var * np.exp(-0.5 * np.maximum(d2, 0))
+
+    Kmm = gram(Z, Z) + 1e-4 * np.eye(M)
+    Kinv = np.linalg.inv(Kmm)
+    eta1 = np.zeros(M)
+    eta2 = -0.5 * np.eye(M)
+    mu = np.zeros(M)
+    Sig = np.eye(M)
+    rho = N / B
+    lr = 0.05
+    t0 = time.perf_counter()
+    for it in range(iters):
+        idx = rng.randint(0, N, B)
+        xb, yb = X[idx], y[idx]
+        Knm = gram(xb, Z)
+        kap = Knm @ Kinv
+        Ktl = var + 1e-4 - np.einsum("bm,bm->b", kap, Knm)
+        mf = kap @ mu
+        vf = Ktl + np.einsum("bm,mn,bn->b", kap, Sig, kap)
+        c = np.sqrt(mf**2 + vf)
+        th = np.tanh(c / 2) / (2 * c)
+        g1 = kap.T @ (rho * yb / 2) + 0 - eta1
+        g2 = -((rho * 0.5 * th)[:, None] * kap).T @ kap - 0.5 * Kinv - eta2
+        eta1 = eta1 + lr * g1
+        eta2 = eta2 + lr * g2
+        Sig = np.linalg.inv(-2 * eta2)
+        mu = Sig @ eta1
+    return iters / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+
+    value = bench_jax()
+    try:
+        base = bench_numpy_baseline()
+    except Exception:
+        base = float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "cavi_iters_per_sec_svgp_m64_logistic_b4096",
+                "value": round(value, 2),
+                "unit": "iters/s/chip",
+                "vs_baseline": round(value / base, 2) if base == base else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

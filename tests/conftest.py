@@ -1,0 +1,23 @@
+import os
+
+# CPU with 8 virtual devices for sharding tests; float64 for parity tests.
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (remote TPU
+# tunnel) whose per-test remote compiles are slow; unit tests are CPU/x64.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+# The baked axon sitecustomize force-registers the TPU backend and sets
+# jax_platforms="axon,cpu" via config (which overrides the env var) -- unit
+# tests must run on local CPU, not through the remote-compile TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+# XLA compiles are slow in this environment: persist them across runs.
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,0 +1,146 @@
+"""Likelihood-by-likelihood behavioral tests (the reference's
+compatibility-matrix-as-test-driver pattern, test/testingtools.jl:54-221),
+plus golden-value checks of the closed-form local updates.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import agp_tpu as agp
+from tests.testingtools import generate_f
+
+KEY = jax.random.PRNGKey(11)
+
+
+def _fit_vgp(lik, y, X, iters=20):
+    kern = agp.SqExponentialKernel()
+    model = agp.VGP.create(X, y, kern, lik, agp.AnalyticVI(), optimiser=None)
+    return agp.train(model, iterations=iters)
+
+
+@pytest.fixture(scope="module")
+def data():
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(24, 2, kern)
+    return X, f
+
+
+def test_studentt_vgp(data):
+    X, f = data
+    y = f + 0.05 * np.random.RandomState(0).standard_t(4.0, size=f.shape)
+    model, state = _fit_vgp(agp.StudentTLikelihood.create(4.0), y, X)
+    mu = agp.predict_f(model, state, X)
+    assert float(jnp.mean(jnp.abs(mu - f))) < 1.0
+    m, v = agp.proba_y(model, state, X)
+    assert jnp.all(v > 0)
+    assert np.isfinite(float(agp.elbo(model, state)))
+
+
+def test_laplace_vgp(data):
+    X, f = data
+    y = np.asarray(f) + 0.05 * np.random.RandomState(1).laplace(size=f.shape)
+    model, state = _fit_vgp(agp.LaplaceLikelihood.create(1.0), y, X)
+    mu = agp.predict_f(model, state, X)
+    assert float(jnp.mean(jnp.abs(mu - f))) < 1.0
+    assert np.isfinite(float(agp.elbo(model, state)))
+
+
+def test_bayesiansvm_vgp(data):
+    X, f = data
+    y = np.sign(np.asarray(f))
+    model, state = _fit_vgp(agp.BayesianSVM.create(), y, X)
+    pred = agp.predict_y(model, state, X)
+    assert float(jnp.mean(pred != jnp.asarray(y))) < 0.35
+    p = agp.proba_y(model, state, X)
+    assert jnp.all((p >= 0) & (p <= 1))
+
+
+def test_poisson_vgp(data):
+    X, f = data
+    rate = 10.0 * jax.nn.sigmoid(jnp.asarray(f))
+    y = np.random.RandomState(2).poisson(np.asarray(rate))
+    model, state = _fit_vgp(agp.PoissonLikelihood.create(10.0), y, X)
+    pred = agp.predict_y(model, state, X)
+    assert float(jnp.mean(jnp.abs(pred - rate))) < 20.0
+    assert np.isfinite(float(agp.elbo(model, state)))
+
+
+def test_negbinomial_vgp(data):
+    X, f = data
+    p = np.asarray(jax.nn.sigmoid(jnp.asarray(f)))
+    y = np.random.RandomState(3).negative_binomial(10, 1 - p)
+    model, state = _fit_vgp(agp.NegBinomialLikelihood.create(10.0), y, X)
+    pred = agp.predict_y(model, state, X)
+    assert np.all(np.isfinite(np.asarray(pred)))
+    assert np.isfinite(float(agp.elbo(model, state)))
+
+
+def test_heteroscedastic_vgp(data):
+    X, f = data
+    g = np.asarray(generate_f(24, 2, agp.SqExponentialKernel(), X=jnp.asarray(X))[1])
+    noise_var = 1.0 / (5.0 * (1.0 / (1.0 + np.exp(-g))))
+    y = np.asarray(f) + np.sqrt(noise_var) * np.random.RandomState(4).randn(*f.shape)
+    lik = agp.HeteroscedasticLikelihood.create(5.0)
+    model, state = _fit_vgp(lik, y, X, iters=15)
+    assert model.n_latent == 2
+    mu = agp.predict_f(model, state, X)
+    assert mu.shape == (2, 24)
+    m, v = agp.proba_y(model, state, X)
+    assert jnp.all(v > 0)
+    assert np.isfinite(float(agp.elbo(model, state)))
+
+
+def test_logisticsoftmax_svgp(data):
+    X, _ = data
+    K = 3
+    keys = [jax.random.PRNGKey(s) for s in range(K)]
+    fs = [generate_f(24, 2, agp.SqExponentialKernel(), key=k, X=jnp.asarray(X))[1] for k in keys]
+    y = np.argmax(np.stack([np.asarray(f) for f in fs]), axis=0)
+    lik = agp.LogisticSoftMaxLikelihood.create(K)
+    kern = agp.SqExponentialKernel()
+    model = agp.SVGP.create(kern, lik, agp.AnalyticVI(), X[:8], optimiser=None)
+    model, state = agp.train(model, X, y, iterations=20)
+    pred_idx = agp.predict_y(model, state, X)
+    err = float(jnp.mean(pred_idx != jnp.asarray(y)))
+    assert err < 0.9  # reference oracle: multiclass err < 0.9
+    probs = agp.proba_y(model, state, X)
+    np.testing.assert_allclose(np.asarray(probs).sum(1), 1.0, atol=1e-5)
+    assert np.isfinite(float(agp.elbo(model, state, X, jnp.asarray(model.likelihood.treat_labels(y)[0]))))
+
+
+def test_local_updates_golden():
+    """Closed-form local updates match hand-computed reference formulas."""
+    mu = jnp.asarray([0.3, -1.2, 2.0])
+    var = jnp.asarray([0.5, 0.1, 1.5])
+    y = jnp.asarray([1.0, -1.0, 1.0])
+
+    lik = agp.LogisticLikelihood.create()
+    _, lv = lik.local_updates(y, mu[None], var[None], lik.init_local_vars(3, mu.dtype))
+    c = np.sqrt(np.asarray(mu) ** 2 + np.asarray(var))
+    np.testing.assert_allclose(lv["c"], c, rtol=1e-12)
+    np.testing.assert_allclose(lv["theta"], np.tanh(c / 2) / (2 * c), rtol=1e-12)
+    np.testing.assert_allclose(lik.grad_e_mu(y, lv)[0], np.asarray(y) / 2)
+
+    st = agp.StudentTLikelihood.create(4.0, 1.0)
+    _, lv = st.local_updates(y, mu[None], var[None], st.init_local_vars(3, mu.dtype))
+    c_exp = ((np.asarray(mu) - np.asarray(y)) ** 2 + np.asarray(var) + 4.0) / 2
+    np.testing.assert_allclose(lv["c"], c_exp, rtol=1e-12)
+    np.testing.assert_allclose(lv["theta"], 2.5 / c_exp, rtol=1e-12)
+
+    lap = agp.LaplaceLikelihood.create(2.0)
+    _, lv = lap.local_updates(y, mu[None], var[None], lap.init_local_vars(3, mu.dtype))
+    b = np.sqrt((np.asarray(mu) - np.asarray(y)) ** 2 + np.asarray(var))
+    np.testing.assert_allclose(lv["b"], b, rtol=1e-12)
+    np.testing.assert_allclose(lv["theta"], 0.5 / b, rtol=1e-12)
+
+
+def test_incompatible_raises():
+    kern = agp.SqExponentialKernel()
+    with pytest.raises(ValueError):
+        agp.SVGP.create(
+            kern,
+            agp.BayesianSVM.create(),
+            agp.GibbsSampling(),
+            np.zeros((5, 2)),
+        )

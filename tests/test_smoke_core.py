@@ -1,0 +1,166 @@
+"""End-to-end smoke + math-parity tests for the core spine:
+kernels, linalg, GP exact, SVGP/VGP + AnalyticVI + Gaussian/Logistic.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import agp_tpu as agp
+from agp_tpu.ops import linalg
+from tests.testingtools import generate_f
+
+
+def test_kernel_gram_psd():
+    k = agp.SqExponentialKernel(lengthscale=jnp.asarray(0.5), variance=jnp.asarray(2.0))
+    X = jax.random.normal(jax.random.PRNGKey(0), (20, 3), dtype=jnp.float64)
+    K = k.gram(X, X)
+    assert K.shape == (20, 20)
+    np.testing.assert_allclose(K, K.T, atol=1e-12)
+    evals = np.linalg.eigvalsh(np.asarray(K))
+    assert evals.min() > -1e-8
+    np.testing.assert_allclose(np.diag(K), np.asarray(k.diag(X)), atol=1e-12)
+
+
+def test_kernel_matches_manual_rbf():
+    k = agp.SqExponentialKernel(lengthscale=jnp.asarray(0.7))
+    X = np.random.RandomState(0).randn(5, 2)
+    K = np.asarray(k.gram(jnp.asarray(X), jnp.asarray(X)))
+    for i in range(5):
+        for j in range(5):
+            d2 = np.sum((X[i] - X[j]) ** 2) / 0.7**2
+            assert abs(K[i, j] - np.exp(-0.5 * d2)) < 1e-10
+
+
+def test_nat_moment_roundtrip():
+    key = jax.random.PRNGKey(1)
+    A = jax.random.normal(key, (6, 6), dtype=jnp.float64)
+    Sigma = A @ A.T + 6 * jnp.eye(6)
+    mu = jnp.arange(6.0)
+    eta1, eta2 = linalg.moments_to_nat(mu, Sigma)
+    mu2, Sigma2 = linalg.nat_to_moments(eta1, eta2)
+    np.testing.assert_allclose(mu, mu2, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(Sigma, Sigma2, rtol=1e-8, atol=1e-10)
+
+
+def test_gp_exact_regression():
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(40, 2, kern)
+    y = f + 0.01 * jax.random.normal(jax.random.PRNGKey(3), f.shape, dtype=jnp.float64)
+    model = agp.GP.create(X, y, kern, noise=1e-2, opt_noise=False, optimiser=None)
+    model, state = agp.train(model, iterations=2)
+    mu = agp.predict_f(model, state, X)
+    assert jnp.mean(jnp.abs(mu - f)) < 0.1
+    mu_p, var_p = agp.proba_y(model, state, X)
+    assert jnp.all(var_p > 0)
+
+
+def test_gp_marginal_lik_increases_with_hyperopt():
+    # reference oracle: marginal likelihood improves over training
+    # (/root/reference/test/likelihood/gaussian.jl:29-31)
+    from agp_tpu.models.gp import log_py
+
+    kern = agp.SqExponentialKernel(lengthscale=jnp.asarray(3.0))
+    X, f = generate_f(30, 2, agp.SqExponentialKernel())
+    y = f + 0.05 * jax.random.normal(jax.random.PRNGKey(4), f.shape, dtype=jnp.float64)
+    model = agp.GP.create(X, y, kern, noise=1e-1)
+    model, state = agp.train(model, iterations=2)
+    l0 = float(log_py(model, state))
+    model, state = agp.train(model, state=state, iterations=20)
+    l1 = float(log_py(model, state))
+    assert l1 > l0
+
+
+def test_svgp_gaussian_analyticvi():
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(60, 2, kern)
+    y = f + 0.05 * jax.random.normal(jax.random.PRNGKey(5), f.shape, dtype=jnp.float64)
+    Z = X[:15]
+    lik = agp.GaussianLikelihood.create(0.05, opt_noise=False)
+    model = agp.SVGP.create(kern, lik, agp.AnalyticVI(), Z, optimiser=None)
+    state = None
+    elbos = []
+    model, state = agp.train(model, X, y, iterations=1, state=state)
+    elbos.append(float(agp.elbo(model, state, X, y)))
+    model, state = agp.train(model, X, y, iterations=10, state=state)
+    elbos.append(float(agp.elbo(model, state, X, y)))
+    assert elbos[1] >= elbos[0] - 1e-6
+    mu = agp.predict_f(model, state, X)
+    assert float(jnp.mean(jnp.abs(mu - f))) < 0.3
+    m, v = agp.proba_y(model, state, X)
+    assert jnp.all(v > 0)
+
+
+def test_svgp_cavi_one_step_closed_form():
+    """Golden parity: one non-stochastic CAVI step must match the closed-form
+    update equations (reference: analyticVI.jl:160-180) computed by hand."""
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(20, 2, kern)
+    y = f
+    Z = X[:7]
+    lik = agp.GaussianLikelihood.create(0.1, opt_noise=False)
+    model = agp.SVGP.create(kern, lik, agp.AnalyticVI(), Z, optimiser=None)
+    state = agp.init_state(model, X, y)
+    model2, state2 = agp.train(model, X, y, iterations=1, state=state)
+
+    # manual computation
+    from agp_tpu.config import jitter
+
+    jitt = jitter(X.dtype)
+    Kmm = kern.gram(Z, Z) + jitt * jnp.eye(7)
+    Kinv = jnp.linalg.inv(Kmm)
+    Knm = kern.gram(X, Z)
+    kappa = Knm @ Kinv
+    theta = jnp.full((20,), 1.0 / 0.1)
+    eta1_expected = kappa.T @ (y / 0.1)
+    eta2_expected = -(kappa.T @ jnp.diag(theta / 2.0) @ kappa + Kinv / 2.0)
+    np.testing.assert_allclose(state2.eta1[0], eta1_expected, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(state2.eta2[0], eta2_expected, rtol=1e-6, atol=1e-8)
+    Sigma_expected = jnp.linalg.inv(-2.0 * eta2_expected)
+    mu_expected = Sigma_expected @ eta1_expected
+    np.testing.assert_allclose(state2.mu[0], mu_expected, rtol=1e-6, atol=1e-8)
+
+
+def test_vgp_logistic_classification():
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(50, 2, kern)
+    y = np.asarray(f > 0, dtype=float) * 2 - 1
+    lik = agp.LogisticLikelihood.create()
+    model = agp.VGP.create(X, y, kern, lik, agp.AnalyticVI(), optimiser=None)
+    model, state = agp.train(model, iterations=20)
+    pred = agp.predict_y(model, state, X)
+    err = float(jnp.mean(pred != jnp.asarray(y)))
+    assert err < 0.3
+    p = agp.proba_y(model, state, X)
+    assert jnp.all((p >= 0) & (p <= 1))
+
+
+def test_svgp_logistic_svi():
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(200, 2, kern)
+    y = np.asarray(f > 0, dtype=float) * 2 - 1
+    Z = X[:20]
+    lik = agp.LogisticLikelihood.create()
+    model = agp.SVGP.create(kern, lik, agp.AnalyticSVI(32), Z, optimiser=None)
+    model, state = agp.train(model, X, y, iterations=100)
+    pred = agp.predict_y(model, state, X)
+    err = float(jnp.mean(pred != jnp.asarray(y)))
+    assert err < 0.35
+
+
+def test_hyperopt_improves_elbo():
+    kern = agp.SqExponentialKernel(lengthscale=jnp.asarray(5.0))
+    X, f = generate_f(40, 2, agp.SqExponentialKernel())
+    y = f + 0.05 * jax.random.normal(jax.random.PRNGKey(7), f.shape, dtype=jnp.float64)
+    lik = agp.GaussianLikelihood.create(0.05, opt_noise=False)
+    import optax
+
+    model_no = agp.SVGP.create(kern, lik, agp.AnalyticVI(), X[:10], optimiser=None)
+    m1, s1 = agp.train(model_no, X, y, iterations=30)
+    model_opt = agp.SVGP.create(
+        kern, lik, agp.AnalyticVI(), X[:10], optimiser=optax.adam(0.05)
+    )
+    m2, s2 = agp.train(model_opt, X, y, iterations=30)
+    e1 = float(agp.elbo(m1, s1, X, y))
+    e2 = float(agp.elbo(m2, s2, X, y))
+    assert e2 > e1
