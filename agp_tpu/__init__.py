@@ -49,6 +49,9 @@ from .likelihoods.regression import (
     LaplaceLikelihood,
     StudentTLikelihood,
 )
+from .inference.hmc import sample_hmc
+from .inference.smc import smc_sample
+from .likelihoods.generic import make_augmented_likelihood
 from .means import AffineMean, ConstantMean, EmpiricalMean, ZeroMean
 from .models.gp import GP
 from .models.mcgp import MCGP, sample
@@ -56,6 +59,8 @@ from .models.multioutput import MOSVGP, MOVGP, mo_elbo, mo_predict_f, mo_train
 from .models.online_svgp import OnlineSVGP, online_elbo, online_train
 from .models.svgp import SVGP, VGP
 from .models.vstp import VStP
+from .training import checkpoint
+from .training.ar_predict import predict_ar, sample_ar
 from .training.predictions import predict_f, predict_y, proba_y
 from .training.train import elbo, init_state, train
 from .utils.opt import robbins_monro

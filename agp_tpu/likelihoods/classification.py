@@ -57,7 +57,7 @@ class LogisticLikelihood(SingleLatentLikelihood):
 
     @classmethod
     def implemented(cls):
-        return frozenset({"AnalyticVI", "QuadratureVI", "GibbsSampling"})
+        return frozenset({"AnalyticVI", "QuadratureVI", "GibbsSampling", "HMCSampling"})
 
     def treat_labels(self, y):
         return _treat_binary(y), self

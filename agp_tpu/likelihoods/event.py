@@ -47,7 +47,7 @@ class PoissonLikelihood(SingleLatentLikelihood):
 
     @classmethod
     def implemented(cls):
-        return frozenset({"AnalyticVI", "GibbsSampling"})
+        return frozenset({"AnalyticVI", "GibbsSampling", "HMCSampling"})
 
     def treat_labels(self, y):
         import numpy as np
@@ -132,7 +132,7 @@ class NegBinomialLikelihood(SingleLatentLikelihood):
 
     @classmethod
     def implemented(cls):
-        return frozenset({"AnalyticVI", "GibbsSampling"})
+        return frozenset({"AnalyticVI", "GibbsSampling", "HMCSampling"})
 
     def treat_labels(self, y):
         import numpy as np

@@ -37,7 +37,7 @@ class HeteroscedasticLikelihood(Likelihood):
 
     @classmethod
     def implemented(cls):
-        return frozenset({"AnalyticVI", "GibbsSampling"})
+        return frozenset({"AnalyticVI", "GibbsSampling", "HMCSampling"})
 
     def init_local_vars(self, batchsize, dtype=jnp.float32):
         ones = jnp.ones((batchsize,), dtype=dtype)

