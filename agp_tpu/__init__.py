@@ -47,6 +47,7 @@ from .likelihoods.multiclass import (
 from .likelihoods.regression import (
     GaussianLikelihood,
     LaplaceLikelihood,
+    Matern32Likelihood,
     StudentTLikelihood,
 )
 from .inference.hmc import sample_hmc

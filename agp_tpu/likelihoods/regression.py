@@ -253,3 +253,77 @@ class LaplaceLikelihood(SingleLatentLikelihood):
 
     def hess_log_prob(self, y, f):
         return jnp.zeros_like(f)
+
+
+class Matern32Likelihood(SingleLatentLikelihood):
+    """Matern-3/2 noise likelihood p(y|f) prop. (1 + sqrt(3)|y-f|/rho)
+    exp(-sqrt(3)|y-f|/rho), GIG-augmented.
+
+    The reference's version is unfinished -- its ELBO throws and it
+    references fields that don't exist (likelihood/matern.jl:86-100;
+    SURVEY.md flags it "partially broken").  We keep its (working) local
+    updates (matern.jl:58-69):
+      c     = sqrt(E[(y-f)^2])
+      theta = 3 / (2 sqrt(3) c rho + 2 rho^2)      (= E[omega]/2)
+      grad_e_mu = 2 theta y, grad_e_sigma = theta
+    and complete the expected log-likelihood it never implemented.  Gibbs
+    needs |p| = 3/2 GIG draws, which the vectorized sampler doesn't cover
+    yet, so only the VI paths are enabled.
+    """
+
+    rho: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.0))
+
+    @classmethod
+    def create(cls, rho: float = 1.0):
+        return cls(rho=jnp.asarray(float(rho)))
+
+    @classmethod
+    def implemented(cls):
+        return frozenset({"AnalyticVI", "QuadratureVI"})
+
+    def init_local_vars(self, batchsize, dtype=jnp.float32):
+        return {
+            "c": jnp.ones((batchsize,), dtype=dtype),
+            "theta": jnp.zeros((batchsize,), dtype=dtype),
+        }
+
+    def _local_updates(self, y, mu, var, local):
+        c = jnp.sqrt((mu - y) ** 2 + var)
+        theta = 3.0 / (2.0 * jnp.sqrt(3.0) * c * self.rho + 2.0 * self.rho**2)
+        return self, {**local, "c": c, "theta": theta}
+
+    def _grad_e_mu(self, y, local):
+        return 2.0 * local["theta"] * y
+
+    def _grad_e_sigma(self, y, local):
+        return local["theta"]
+
+    def _expec_loglik(self, y, mu, var, local):
+        # E[log N(y | f, 1/omega)] with E[omega] = 2 theta; the E[log omega]
+        # and augmentation-prior terms are constants wrt (mu, var) and are
+        # excluded like the reference excludes AugmentedKL terms.
+        n = y.shape[0]
+        theta = local["theta"]
+        return -n * LOG2PI / 2.0 - jnp.sum(theta * ((mu - y) ** 2 + var))
+
+    def aug_kl(self, local, y):
+        # experimental: GIG entropy bound only (the reference has no working
+        # ELBO for this likelihood at all)
+        return jnp.asarray(0.0, dtype=local["c"].dtype)
+
+    def compute_proba(self, mu, var):
+        return mu, jnp.maximum(var, 0.0) + 4.0 * self.rho**2 / 3.0
+
+    def predict_y(self, mu):
+        return mu
+
+    def log_prob(self, y, f):
+        u = jnp.sqrt(3.0) * jnp.abs(y - f) / self.rho
+        # normalized matern-3/2 density: (3/(4 rho)) (1+u) e^{-u}
+        return jnp.log(3.0 / (4.0 * self.rho)) + jnp.log1p(u) - u
+
+    def grad_log_prob(self, y, f):
+        return 3.0 * (y - f) / (self.rho * (jnp.abs(f - y) * jnp.sqrt(3.0) + self.rho))
+
+    def hess_log_prob(self, y, f):
+        return -3.0 / (self.rho + jnp.sqrt(3.0) * jnp.abs(f - y)) ** 2

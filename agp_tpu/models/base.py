@@ -33,8 +33,13 @@ def prepare_components(kernel, likelihood, mean, n_latent):
     return kernel, mean
 
 
-def as_2d(X) -> jnp.ndarray:
+def as_2d(X, obsdim: int = 1) -> jnp.ndarray:
+    """Coerce inputs to [N, D].  obsdim=1: rows are observations (default);
+    obsdim=2: columns are observations (the reference's KernelFunctions
+    convention switch, e.g. models/SVGP.jl obsdim kwarg)."""
     X = jnp.asarray(X)
     if X.ndim == 1:
         X = X[:, None]
+    elif obsdim == 2:
+        X = X.T
     return X

@@ -70,6 +70,10 @@ def sample(model: MCGP, n_samples: int, key=None, n_chains: int = 1):
 
     key = jax.random.PRNGKey(0) if key is None else key
     inf = model.inference
+    if inf.name == "HMCSampling":
+        from ..inference.hmc import sample_hmc
+
+        return sample_hmc(model, n_samples, key=key, n_chains=n_chains)
     K = batch_gram(model.kernel, model.train_x)
     jitt = jitter(K.dtype)
     L_K = jax.vmap(lambda k: linalg.safe_cholesky(k, jitt))(K)

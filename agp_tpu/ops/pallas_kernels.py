@@ -1,0 +1,168 @@
+"""Pallas TPU kernels for the sparse-CAVI hot path.
+
+The reference's "native tier" is BLAS (SURVEY.md section 2); ours is fused
+TPU kernels.  Two fusions cover the per-iteration data path of a sparse
+CAVI step (analytic_vi.py):
+
+1. `fused_kappa`: X[B,D], Z[M,D], Kinv[M,M] -> kappa[B,M], Ktilde[B]
+   computes the Knm gram tile, kappa = Knm Kinv and the Ktilde diagonal
+   correction in one VMEM-resident pass per B-tile -- Knm never round-trips
+   to HBM (the XLA path materializes it between the gram and the solve).
+2. `cavi_stats`: kappa[B,M], g[B], theta[B] -> s1[M], S2[M,M]
+   the two cross-data reductions of the natural gradient, accumulated
+   tile-by-tile in a VMEM scratch accumulator (one pass over kappa instead
+   of two).
+
+Both are grid-over-B kernels with the M axis resident in VMEM (M <= 512),
+MXU matmuls with float32 accumulation.  `available()` gates usage: the XLA
+einsum path in analytic_vi.py remains the portable fallback (CPU tests).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas is TPU-only at runtime; import lazily/safely
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def available() -> bool:
+    if not _HAS_PALLAS:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+# ------------------------------------------------------------- fused kappa
+def _kappa_kernel(x_ref, z_ref, kinv_ref, params_ref, kappa_ref, ktilde_ref, *, kind):
+    # x: [TB, D], z: [M, D], kinv: [M, M], params: [2] (lengthscale scalar,
+    # variance) in SMEM
+    ls = params_ref[0]
+    var = params_ref[1]
+    jitt = params_ref[2]
+    x = x_ref[:] / ls
+    z = z_ref[:] / ls
+    xx = jnp.sum(x * x, axis=1, keepdims=True)  # [TB, 1]
+    zz = jnp.sum(z * z, axis=1, keepdims=True).T  # [1, M]
+    xz = jnp.dot(x, z.T, preferred_element_type=jnp.float32)
+    r2 = jnp.maximum(xx + zz - 2.0 * xz, 0.0)
+    if kind == "rbf":
+        knm = var * jnp.exp(-0.5 * r2)
+    elif kind == "matern32":
+        r = jnp.sqrt(jnp.maximum(3.0 * r2, 1e-36))
+        knm = var * (1.0 + r) * jnp.exp(-r)
+    elif kind == "matern52":
+        r = jnp.sqrt(jnp.maximum(5.0 * r2, 1e-36))
+        knm = var * (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+    elif kind == "matern12":
+        r = jnp.sqrt(jnp.maximum(r2, 1e-36))
+        knm = var * jnp.exp(-r)
+    else:
+        raise ValueError(kind)
+    kappa = jnp.dot(knm, kinv_ref[:], preferred_element_type=jnp.float32)
+    kappa_ref[:] = kappa
+    # Ktilde = var + jitt - diag(kappa Knm^T); kept [TB, 1] -- 1-D operands
+    # hit XLA/Mosaic layout mismatches on TPU
+    ktilde_ref[:] = jnp.maximum(
+        var + jitt - jnp.sum(kappa * knm, axis=1, keepdims=True), 1e-12
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "tile_b"))
+def fused_kappa(X, Z, K_inv, lengthscale, variance, jitt, kind="rbf", tile_b=512):
+    """Single-latent fused (kappa, Ktilde).  X [B, D], Z [M, D]."""
+    B, D = X.shape
+    M = Z.shape[0]
+    Bp = _round_up(B, tile_b)
+    if Bp != B:
+        X = jnp.pad(X, ((0, Bp - B), (0, 0)))
+    params = jnp.stack(
+        [
+            jnp.asarray(lengthscale, jnp.float32).reshape(()),
+            jnp.asarray(variance, jnp.float32).reshape(()),
+            jnp.asarray(jitt, jnp.float32).reshape(()),
+        ]
+    )
+    kappa, ktilde = pl.pallas_call(
+        functools.partial(_kappa_kernel, kind=kind),
+        grid=(Bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, D), lambda i: (i, 0)),
+            pl.BlockSpec((M, D), lambda i: (0, 0)),
+            pl.BlockSpec((M, M), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, M), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, M), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+        ],
+    )(X.astype(jnp.float32), Z.astype(jnp.float32), K_inv.astype(jnp.float32), params)
+    return kappa[:B], ktilde[:B, 0]
+
+
+# ------------------------------------------------------------- CAVI stats
+def _stats_kernel(kappa_ref, g_ref, theta_ref, s1_ref, s2_ref):
+    i = pl.program_id(0)
+    kappa = kappa_ref[:]  # [TB, M]
+    g = g_ref[:]  # [TB, 1]
+    th = theta_ref[:]  # [TB, 1]
+
+    @pl.when(i == 0)
+    def _():
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        s2_ref[:] = jnp.zeros_like(s2_ref)
+
+    s1_ref[:] += jnp.sum(kappa * g, axis=0, keepdims=True)  # [1, M]
+    s2_ref[:] += jnp.dot(
+        (kappa * th).T, kappa, preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b",))
+def cavi_stats(kappa, g, theta, tile_b=512):
+    """s1 = kappa^T g, S2 = kappa^T diag(theta) kappa in one pass."""
+    B, M = kappa.shape
+    Bp = _round_up(B, tile_b)
+    if Bp != B:
+        kappa = jnp.pad(kappa, ((0, Bp - B), (0, 0)))
+        g = jnp.pad(g, (0, Bp - B))
+        theta = jnp.pad(theta, (0, Bp - B))
+    s1, s2 = pl.pallas_call(
+        _stats_kernel,
+        grid=(Bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, M), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, M), lambda i: (0, 0)),
+            pl.BlockSpec((M, M), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((M, M), jnp.float32),
+        ],
+    )(
+        kappa.astype(jnp.float32),
+        g.astype(jnp.float32)[:, None],
+        theta.astype(jnp.float32)[:, None],
+    )
+    return s1[0], s2

@@ -71,9 +71,8 @@ def init_state(model, X=None, y=None, key=None) -> TrainState:
     )
 
 
-@jax.jit
-def _vi_step(model, state: TrainState, X, y):
-    """One jitted CAVI iteration, including the on-device minibatch draw."""
+def _vi_step_body(model, state: TrainState, X, y):
+    """One CAVI iteration, including the on-device minibatch draw."""
     if model.inference.stochastic:
         key, sub = jax.random.split(state.key)
         idx = jax.random.randint(
@@ -91,6 +90,24 @@ def _vi_step(model, state: TrainState, X, y):
     else:
         model, state = analytic_vi.variational_update(model, state, x_b, y_b)
     return model, state.replace(step=state.step + 1)
+
+
+_vi_step = jax.jit(_vi_step_body)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _vi_steps(model, state: TrainState, X, y, n: int):
+    """n CAVI iterations fused into one on-device lax.scan -- removes the
+    per-step host dispatch that dominates wall-clock for small M (the
+    reference's Julia loop pays this cost every iteration)."""
+
+    def body(carry, _):
+        m, s = carry
+        m, s = _vi_step_body(m, s, X, y)
+        return (m, s), None
+
+    (model, state), _ = jax.lax.scan(body, (model, state), None, length=n)
+    return model, state
 
 
 @jax.jit
@@ -122,12 +139,20 @@ def train(
     key=None,
     callback: Optional[Callable] = None,
     verbose: int = 0,
+    conv_eps: float = 0.0,
+    conv_check_every: int = 10,
 ):
     """Train a model for `iterations` CAVI steps
     (reference: training/training.jl:13-111).
 
     Returns (model, state): models are immutable, so hyperparameter and
     likelihood-parameter updates produce a new model pytree.
+
+    `conv_eps > 0` enables an actual convergence check (|delta ELBO| per
+    iteration < eps over `conv_check_every`-step windows).  The reference
+    carries an epsilon on every inference object but never evaluates it
+    (training/training.jl:93-94); here it works, opt-in because the check
+    costs one ELBO evaluation per window.
     """
     if isinstance(model, GP):
         return _train_gp(model, iterations, state, key, callback, verbose)
@@ -157,26 +182,45 @@ def train(
         state = init_state(model, X, y, key)
 
     do_hyper = model.optimiser is not None
-    for i in range(1, iterations + 1):
-        model, state = _vi_step(model, state, X, y)
-        if callback is not None:
-            callback(model, state, int(i))
-        # reference: hyper-update every `atfrequency` iters, from iter 3,
-        # never on the last iteration (training/training.jl:66-70)
-        if (
-            do_hyper
-            and i % model.atfrequency == 0
-            and i >= 3
-            and i != iterations
-        ):
-            model, state = _hyper_step(model, state, X, y)
-        if verbose >= 2:
-            if inf.stochastic:
-                b = inf.batchsize
-                e = _elbo_full(model, state, X[:b], y[:b])
-            else:
-                e = _elbo_full(model, state, X, y)
-            print(f"iter {i}: ELBO = {float(e):.6f}")
+    fast_path = callback is None and verbose < 2 and not do_hyper and iterations > 1
+    if fast_path:
+        # fuse the whole run into on-device scans (chunked so a single
+        # dispatch never grows unboundedly long)
+        done = 0
+        prev_elbo = None
+        chunk = conv_check_every if conv_eps > 0 else 200
+        while done < iterations:
+            n = min(chunk, iterations - done)
+            model, state = _vi_steps(model, state, X, y, n)
+            done += n
+            if conv_eps > 0:
+                xb = X[: inf.batchsize] if inf.stochastic else X
+                yb = y[: inf.batchsize] if inf.stochastic else y
+                e = float(_elbo_full(model, state, xb, yb))
+                if prev_elbo is not None and abs(e - prev_elbo) / n < conv_eps:
+                    break
+                prev_elbo = e
+    else:
+        for i in range(1, iterations + 1):
+            model, state = _vi_step(model, state, X, y)
+            if callback is not None:
+                callback(model, state, int(i))
+            # reference: hyper-update every `atfrequency` iters, from iter 3,
+            # never on the last iteration (training/training.jl:66-70)
+            if (
+                do_hyper
+                and i % model.atfrequency == 0
+                and i >= 3
+                and i != iterations
+            ):
+                model, state = _hyper_step(model, state, X, y)
+            if verbose >= 2:
+                if inf.stochastic:
+                    b = inf.batchsize
+                    e = _elbo_full(model, state, X[:b], y[:b])
+                else:
+                    e = _elbo_full(model, state, X, y)
+                print(f"iter {i}: ELBO = {float(e):.6f}")
     # refresh kernel matrices for prediction (training/training.jl:107-109)
     state = state.replace(kmat=analytic_vi.compute_kmat(model, X))
     return model, state

@@ -54,3 +54,40 @@ def robbins_monro(kappa: float = 0.51, tau: float = 1.0) -> optax.GradientTransf
         )
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def alrsvi(n_warmup: int = 10, rho0: float = 0.1) -> optax.GradientTransformation:
+    """Adaptive Learning Rate for SVI (Ranganath et al.; reference:
+    /root/reference/src/inference/optimisers.jl:26-58 -- re-derived, the
+    reference's version references fields that don't exist).
+
+    Tracks running mean gradient g_bar and mean squared-norm h_bar; the rate
+    is rho = |g_bar|^2 / h_bar, with window tau <- tau (1 - rho) + 1.
+    """
+
+    def init_fn(params):
+        g = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {
+            "i": jnp.zeros([], jnp.int32),
+            "g": g,
+            "h": jnp.zeros([]),
+            "tau": jnp.asarray(float(n_warmup)),
+        }
+
+    def _sqnorm(tree):
+        return sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(tree))
+
+    def update_fn(updates, state, params=None):
+        i = state["i"] + 1
+        warm = i <= n_warmup
+        w = jnp.where(warm, 1.0 / i.astype(jnp.float32), 1.0 / state["tau"])
+        g = jax.tree_util.tree_map(
+            lambda m, u: (1.0 - w) * m + w * u, state["g"], updates
+        )
+        h = (1.0 - w) * state["h"] + w * _sqnorm(updates)
+        rho = jnp.where(warm, rho0, _sqnorm(g) / jnp.maximum(h, 1e-30))
+        tau = jnp.where(warm, state["tau"], state["tau"] * (1.0 - rho) + 1.0)
+        scaled = jax.tree_util.tree_map(lambda u: -rho * u, updates)
+        return scaled, {"i": i, "g": g, "h": h, "tau": tau}
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -43,21 +43,22 @@ def build_workload(dtype):
     return model, state, X, y2
 
 
-def bench_jax(iters=200):
+def bench_jax(iters=2000, chunk=200):
     import jax
 
-    from agp_tpu.training.train import _vi_step
+    from agp_tpu.training.train import _vi_steps
 
     dtype = jax.numpy.float32
     model, state, X, y = build_workload(dtype)
-    # warmup / compile
-    model, state = _vi_step(model, state, X, y)
+    # warmup / compile (the whole chunk is one on-device lax.scan)
+    model, state = _vi_steps(model, state, X, y, chunk)
     jax.block_until_ready(state.mu)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        model, state = _vi_step(model, state, X, y)
+    for _ in range(iters // chunk):
+        model, state = _vi_steps(model, state, X, y, chunk)
     jax.block_until_ready(state.mu)
     dt = time.perf_counter() - t0
+    assert bool(jax.numpy.all(jax.numpy.isfinite(state.mu))), "non-finite posterior"
     return iters / dt
 
 
