@@ -28,7 +28,12 @@ class KmeansAlg:
 
     def __call__(self, X, key=None):
         X = np.asarray(X)
-        rng = np.random.RandomState(0 if key is None else int(key[-1]))
+        seed = 0 if key is None else int(np.asarray(key)[-1])
+        from ..utils import native
+
+        if native.available():  # OpenMP C++ Lloyd (native/agp_native.cpp)
+            return jnp.asarray(native.kmeans(X, self.k, self.n_iters, seed))
+        rng = np.random.RandomState(seed)
         idx = rng.choice(X.shape[0], size=min(self.k, X.shape[0]), replace=False)
         C = X[idx].copy()
         for _ in range(self.n_iters):
@@ -79,8 +84,22 @@ class OIPS:
     capacity: int = 128
 
     def __call__(self, X, key=None, kernel=None):
-        """Offline/batched init: sequential numpy pass."""
+        """Offline/batched init: sequential pass (C++ when the kernel is a
+        scalar-lengthscale RBF or unspecified, numpy otherwise)."""
         X = np.asarray(X)
+        from ..utils import native
+
+        ls = 1.0
+        simple = kernel is None
+        if kernel is not None and type(kernel).__name__ in (
+            "SqExponentialKernel",
+            "RBFKernel",
+        ):
+            arr = np.asarray(kernel.lengthscale)
+            if arr.ndim == 0:
+                ls, simple = float(arr), True
+        if simple and native.available():
+            return jnp.asarray(native.oips(X, self.rho, ls, self.capacity))
         Z = [X[0]]
         for x in X[1:]:
             if kernel is None:

@@ -116,8 +116,16 @@ class RationalQuadraticKernel(StationaryKernel):
 
 
 class CosineKernel(StationaryKernel):
-    def _from_r2(self, r2):
-        return jnp.cos(2.0 * jnp.pi * jnp.sqrt(jnp.maximum(r2, 1e-36)))
+    """k = v * prod_d cos(2 pi (x_d - z_d) / l_d) -- the per-dimension
+    product form is PSD (cos of a difference factorizes into cos/sin
+    features); a cos of the Euclidean norm would not be."""
+
+    def gram(self, X, Z=None):
+        Z = X if Z is None else Z
+        diff = X[:, None, :] - Z[None, :, :]
+        return self.variance * jnp.prod(
+            jnp.cos(2.0 * jnp.pi * diff / self.lengthscale), axis=-1
+        )
 
 
 class PeriodicKernel(StationaryKernel):

@@ -94,3 +94,76 @@ def sharded_train(model, X, y, iterations: int, mesh: Mesh | None = None, state=
     for _ in range(iterations):
         model, state = step(model, state, Xs, ys)
     return model, state
+
+
+def sharded_svi_step(mesh: Mesh, batch_per_device: int, axis_name: str = "data"):
+    """Stochastic (minibatched) data-parallel CAVI step.
+
+    Each device draws its own local minibatch from its X shard via
+    `shard_map` (per-device folded PRNG keys -- no cross-device gather, the
+    design SURVEY.md section 7 calls out for >=80% scaling: zero per-step
+    host->device or cross-device data movement), then the jitted
+    variational update runs on the sharded minibatch with GSPMD psum-ing
+    the [M]/[M,M] statistics.
+    """
+    from ..inference.analytic_vi import variational_update
+
+    P_ = P(axis_name)
+
+    def draw(xs, ys, key):
+        dev = jax.lax.axis_index(axis_name)
+        k = jax.random.fold_in(key, dev)
+        idx = jax.random.randint(k, (batch_per_device,), 0, xs.shape[0])
+        return jnp.take(xs, idx, axis=0), jnp.take(ys, idx, axis=0)
+
+    draw_sharded = jax.shard_map(
+        draw,
+        mesh=mesh,
+        in_specs=(P_, P_, P()),
+        out_specs=(P_, P_),
+    )
+
+    @jax.jit
+    def step(model, state, X, y):
+        key, sub = jax.random.split(state.key)
+        x_b, y_b = draw_sharded(X, y, sub)
+        state = state.replace(key=key)
+        model, state = variational_update(model, state, x_b, y_b)
+        return model, state.replace(step=state.step + 1)
+
+    return step
+
+
+def sharded_svi_train(
+    model, X, y, iterations: int, mesh: Mesh | None = None,
+    batch_per_device: int | None = None, state=None, key=None,
+):
+    """Minibatched data-parallel training driver (the 1M-point BASELINE
+    config on a pod slice).  Global batch = batch_per_device * n_devices."""
+    from ..models.base import as_2d
+    from ..training.train import init_state
+
+    mesh = make_mesh() if mesh is None else mesh
+    n_dev = mesh.devices.size
+    if batch_per_device is None:
+        batch_per_device = max(model.inference.batchsize // n_dev, 1)
+    X = as_2d(X)
+    y, lik = model.likelihood.treat_labels(y)
+    model = model.replace(likelihood=lik)
+    Xs, ys = shard_batch(mesh, X, y)
+    if state is None:
+        # local vars sized to the global minibatch
+        import dataclasses
+
+        inf = dataclasses.replace(
+            model.inference, batchsize=batch_per_device * n_dev
+        )
+        model = model.replace(inference=inf)
+        state = init_state(model, Xs, ys, key)
+        state = state.replace(
+            rho=jnp.asarray(X.shape[0] / (batch_per_device * n_dev), X.dtype)
+        )
+    step = sharded_svi_step(mesh, batch_per_device)
+    for _ in range(iterations):
+        model, state = step(model, state, Xs, ys)
+    return model, state

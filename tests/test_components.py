@@ -1,0 +1,158 @@
+"""Component-level tests mirroring the reference's test dirs
+(test/data, test/prior, test/functions, test/inference constructors)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import agp_tpu as agp
+from agp_tpu import kernels as K
+from agp_tpu import means as Mn
+
+
+ALL_KERNELS = [
+    agp.SqExponentialKernel(),
+    agp.Matern12Kernel(),
+    agp.Matern32Kernel(),
+    agp.Matern52Kernel(),
+    agp.RationalQuadraticKernel(),
+    agp.PeriodicKernel(),
+    agp.LinearKernel(),
+    agp.PolynomialKernel(),
+    agp.ConstantKernel(),
+    agp.WhiteKernel(),
+    agp.CosineKernel(),
+    agp.SqExponentialKernel() + agp.Matern32Kernel(),
+    agp.SqExponentialKernel() * agp.LinearKernel(),
+    2.5 * agp.SqExponentialKernel(),
+]
+
+
+@pytest.mark.parametrize("kern", ALL_KERNELS, ids=lambda k: type(k).__name__)
+def test_kernel_psd_and_diag(kern):
+    X = jax.random.normal(jax.random.PRNGKey(0), (15, 3), dtype=jnp.float64)
+    G = np.asarray(kern.gram(X, X))
+    np.testing.assert_allclose(G, G.T, atol=1e-10)
+    evals = np.linalg.eigvalsh(G)
+    assert evals.min() > -1e-7
+    np.testing.assert_allclose(np.diag(G), np.asarray(kern.diag(X)), atol=1e-10)
+
+
+def test_kernel_ard_lengthscale():
+    k = agp.SqExponentialKernel(lengthscale=jnp.asarray([0.5, 2.0]))
+    X = jax.random.normal(jax.random.PRNGKey(1), (10, 2), dtype=jnp.float64)
+    G = np.asarray(k.gram(X, X))
+    Xs = np.asarray(X) / np.array([0.5, 2.0])
+    d2 = ((Xs[:, None] - Xs[None, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(G, np.exp(-0.5 * d2), atol=1e-10)
+
+
+def test_prior_means():
+    X = jax.random.normal(jax.random.PRNGKey(2), (7, 3), dtype=jnp.float64)
+    assert np.allclose(Mn.ZeroMean()(X), 0)
+    assert np.allclose(Mn.ConstantMean(c=jnp.asarray(1.5))(X), 1.5)
+    v = jnp.arange(7.0)
+    assert np.allclose(Mn.EmpiricalMean(v=v)(X), np.arange(7.0))
+    w = jnp.asarray([1.0, 0.0, -1.0])
+    am = Mn.AffineMean(w=w, b=jnp.asarray(0.5))
+    np.testing.assert_allclose(np.asarray(am(X)), np.asarray(X @ w + 0.5))
+    # coercion (reference: convert(PriorMean, x))
+    assert isinstance(Mn.as_mean(2.0), Mn.ConstantMean)
+    assert isinstance(Mn.as_mean(np.zeros(4)), Mn.EmpiricalMean)
+
+
+def test_mean_replicate_batch_call():
+    m = Mn.replicate(Mn.ConstantMean(c=jnp.asarray(2.0)), 3)
+    X = jnp.zeros((5, 2))
+    out = Mn.batch_call(m, X, 3)
+    assert out.shape == (3, 5)
+    out0 = Mn.batch_call(Mn.ZeroMean(), X, 3)
+    assert out0.shape == (3, 5) and np.allclose(out0, 0)
+
+
+def test_robbins_monro_schedule():
+    """Delta * (tau + n)^-kappa (reference: inference/optimisers.jl:1-19)."""
+    from agp_tpu.utils.opt import ascent_update, robbins_monro
+
+    opt = agp.robbins_monro()
+    s = opt.init(jnp.zeros(2))
+    g = jnp.asarray([1.0, -1.0])
+    for n in range(3):
+        s, u = ascent_update(opt, s, jnp.zeros(2), g)
+        expected = (1.0 + n) ** (-0.51)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(g) * expected, rtol=1e-6)
+
+
+def test_jitter_policy():
+    from agp_tpu.config import jitter
+
+    assert jitter(jnp.float64) == 1e-4
+    assert jitter(jnp.float32) == 1e-3
+    assert jitter(jnp.float16) == 1e-2
+
+
+def test_label_treatment():
+    lik = agp.LogisticLikelihood.create()
+    y, _ = lik.treat_labels(np.array([0, 1, 1, 0]))
+    np.testing.assert_array_equal(np.asarray(y), [-1, 1, 1, -1])
+    y, _ = lik.treat_labels(np.array([-1, 1]))
+    np.testing.assert_array_equal(np.asarray(y), [-1, 1])
+    mc = agp.LogisticSoftMaxLikelihood.create(3)
+    yh, mc2 = mc.treat_labels(np.array(["a", "b", "c", "a"]))
+    assert yh.shape == (4, 3)
+    assert mc2.class_mapping == ("a", "b", "c")
+    np.testing.assert_array_equal(
+        mc2.labels_from_indices([0, 2]), np.array(["a", "c"])
+    )
+
+
+def test_inducing_point_algorithms():
+    from agp_tpu.inducing import KmeansAlg, OIPS, RandomSubset, UniGrid, inducingpoints
+
+    X = np.random.RandomState(0).randn(200, 2)
+    Z = inducingpoints(KmeansAlg(16), X)
+    assert Z.shape == (16, 2)
+    Z = inducingpoints(RandomSubset(10), X)
+    assert Z.shape == (10, 2)
+    Z = inducingpoints(UniGrid(5), X)
+    assert Z.shape == (25, 2)
+    Z = inducingpoints(OIPS(rho=0.8, capacity=64), X)
+    assert 1 <= Z.shape[0] <= 64
+
+
+def test_native_matches_python_kmeans():
+    from agp_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("no native lib")
+    X = np.random.RandomState(0).randn(500, 3)
+    C = native.kmeans(X, 8, n_iters=5)
+    assert C.shape == (8, 3)
+    # centers lie within the data bounding box
+    assert C.min() >= X.min() - 1e-9 and C.max() <= X.max() + 1e-9
+
+
+def test_special_functions():
+    from agp_tpu.ops.special import besselk_half, logcosh, safe_expcosh
+    from scipy.special import kv
+
+    x = np.linspace(0.1, 5, 20)
+    for nh, p in [(0, 0.5), (1, 1.5), (2, 2.5)]:
+        np.testing.assert_allclose(
+            np.asarray(besselk_half(nh, jnp.asarray(x))), kv(p, x), rtol=1e-10
+        )
+    c = jnp.asarray([0.0, 1.0, 50.0, 500.0])
+    np.testing.assert_allclose(
+        np.asarray(logcosh(c)), np.log(np.cosh(np.asarray(c[:3]).tolist() + [0])) [:3].tolist() + [500.0 - np.log(2.0)], rtol=1e-6
+    )
+    assert np.isfinite(float(safe_expcosh(jnp.asarray(300.0), jnp.asarray(400.0))))
+
+
+def test_gauss_hermite_expectation():
+    from agp_tpu.ops.quadrature import expectation
+
+    # E[f^2] for f ~ N(mu, var) = mu^2 + var
+    mu = jnp.asarray([0.5, -1.0])
+    var = jnp.asarray([2.0, 0.3])
+    e = expectation(lambda f: f**2, mu, var)
+    np.testing.assert_allclose(np.asarray(e), [0.25 + 2.0, 1.0 + 0.3], rtol=1e-8)

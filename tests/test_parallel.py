@@ -71,3 +71,21 @@ def test_gibbs_chains_shard_over_devices():
     samples = agp.sample(mg, 20, key=jax.random.PRNGKey(0), n_chains=8)
     assert samples.shape == (8, 20, 1, 20)
     assert bool(jnp.all(jnp.isfinite(samples)))
+
+
+def test_sharded_svi_minibatch_step():
+    """shard_map per-device minibatch draw + GSPMD statistic psum."""
+    from agp_tpu.parallel.mesh import make_mesh, sharded_svi_train
+
+    X = np.random.RandomState(0).randn(1024, 4)
+    y = np.sign(X @ np.ones(4))
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+        agp.AnalyticSVI(128), jnp.asarray(X[:16]), optimiser=None,
+    )
+    mesh = make_mesh(8)
+    m, s = sharded_svi_train(m, X, y, iterations=30, mesh=mesh)
+    from agp_tpu.training.predictions import predict_y
+
+    acc = float(jnp.mean(predict_y(m, s, jnp.asarray(X)) == jnp.asarray(y)))
+    assert acc > 0.8
