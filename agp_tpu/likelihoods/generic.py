@@ -61,7 +61,10 @@ def make_augmented_likelihood(
 
         @classmethod
         def implemented(cls):
-            return frozenset({"AnalyticVI", "QuadratureVI"})
+            # Gibbs draws the auxiliary from its Laplace transform
+            # (distributions/lap_transf.py, Gaver-Stehfest inversion) --
+            # needs float64 enabled
+            return frozenset({"AnalyticVI", "QuadratureVI", "GibbsSampling"})
 
         def treat_labels(self, y):
             if ltype == "Classification":
@@ -119,6 +122,17 @@ def make_augmented_likelihood(
             if ltype == "Classification":
                 return jnp.sign(mu)
             return mu
+
+        def _sample_local(self, key, y, f, local):
+            # omega | f is the prior (with Laplace transform phi) tilted by
+            # s0 = alpha(y) - beta(y) f + gamma(y) f^2 (reference:
+            # generic_likelihood.jl sample_local! / p_omega)
+            from ..distributions.lap_transf import LaplaceTransformDistribution
+
+            s0 = alpha(y) - beta(y) * f + gamma(y) * f**2
+            dist = LaplaceTransformDistribution(phi)
+            omega = dist.sample(key, s0)
+            return {**local, "c2": s0, "theta": omega}
 
     GenericAugmented.__name__ = f"{name}Likelihood"
     GenericAugmented.__qualname__ = GenericAugmented.__name__

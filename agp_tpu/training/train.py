@@ -183,44 +183,51 @@ def train(
 
     do_hyper = model.optimiser is not None
     fast_path = callback is None and verbose < 2 and not do_hyper and iterations > 1
-    if fast_path:
-        # fuse the whole run into on-device scans (chunked so a single
-        # dispatch never grows unboundedly long)
-        done = 0
-        prev_elbo = None
-        chunk = conv_check_every if conv_eps > 0 else 200
-        while done < iterations:
-            n = min(chunk, iterations - done)
-            model, state = _vi_steps(model, state, X, y, n)
-            done += n
-            if conv_eps > 0:
-                xb = X[: inf.batchsize] if inf.stochastic else X
-                yb = y[: inf.batchsize] if inf.stochastic else y
-                e = float(_elbo_full(model, state, xb, yb))
-                if prev_elbo is not None and abs(e - prev_elbo) / n < conv_eps:
-                    break
-                prev_elbo = e
-    else:
-        for i in range(1, iterations + 1):
-            model, state = _vi_step(model, state, X, y)
-            if callback is not None:
-                callback(model, state, int(i))
-            # reference: hyper-update every `atfrequency` iters, from iter 3,
-            # never on the last iteration (training/training.jl:66-70)
-            if (
-                do_hyper
-                and i % model.atfrequency == 0
-                and i >= 3
-                and i != iterations
-            ):
-                model, state = _hyper_step(model, state, X, y)
-            if verbose >= 2:
-                if inf.stochastic:
-                    b = inf.batchsize
-                    e = _elbo_full(model, state, X[:b], y[:b])
-                else:
-                    e = _elbo_full(model, state, X, y)
-                print(f"iter {i}: ELBO = {float(e):.6f}")
+    # Ctrl-C preserves the partially-trained (model, state), mirroring the
+    # reference's InterruptException handling (training/training.jl:95-102)
+    try:
+        if fast_path:
+            # fuse the whole run into on-device scans (chunked so a single
+            # dispatch never grows unboundedly long)
+            done = 0
+            prev_elbo = None
+            chunk = conv_check_every if conv_eps > 0 else 200
+            while done < iterations:
+                n = min(chunk, iterations - done)
+                model, state = _vi_steps(model, state, X, y, n)
+                done += n
+                if conv_eps > 0:
+                    xb = X[: inf.batchsize] if inf.stochastic else X
+                    yb = y[: inf.batchsize] if inf.stochastic else y
+                    e = float(_elbo_full(model, state, xb, yb))
+                    if prev_elbo is not None and abs(e - prev_elbo) / n < conv_eps:
+                        break
+                    prev_elbo = e
+        else:
+            for i in range(1, iterations + 1):
+                model, state = _vi_step(model, state, X, y)
+                if callback is not None:
+                    callback(model, state, int(i))
+                # reference: hyper-update every `atfrequency` iters, from
+                # iter 3, never on the last (training/training.jl:66-70)
+                if (
+                    do_hyper
+                    and i % model.atfrequency == 0
+                    and i >= 3
+                    and i != iterations
+                ):
+                    model, state = _hyper_step(model, state, X, y)
+                if verbose >= 2:
+                    if inf.stochastic:
+                        b = inf.batchsize
+                        e = _elbo_full(model, state, X[:b], y[:b])
+                    else:
+                        e = _elbo_full(model, state, X, y)
+                    print(f"iter {i}: ELBO = {float(e):.6f}")
+    except KeyboardInterrupt:
+        import warnings
+
+        warnings.warn("training interrupted by user; returning current state")
     # refresh kernel matrices for prediction (training/training.jl:107-109)
     state = state.replace(kmat=analytic_vi.compute_kmat(model, X))
     return model, state
