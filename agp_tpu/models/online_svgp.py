@@ -299,8 +299,12 @@ def online_train(model: OnlineSVGP, X, y, state=None, iterations: int = 20, key=
         )
 
     step = jax.jit(_online_step)
-    for i in range(iterations):
+    do_hyper = model.optimiser is not None
+    hyper = jax.jit(_online_hyper_step) if do_hyper else None
+    for i in range(1, iterations + 1):
         model, state = step(model, state, X, y)
+        if do_hyper and i % model.atfrequency == 0 and i >= 3 and i != iterations:
+            model, state = hyper(model, state, X, y)
     state = state.replace(kmat=masked_kmat(model))
     return model, state
 
@@ -308,6 +312,12 @@ def online_train(model: OnlineSVGP, X, y, state=None, iterations: int = 20, key=
 def _online_step(model, state, X, y):
     model, state = online_variational_update(model, state, X, y)
     return model, state.replace(step=state.step + 1)
+
+
+def _online_hyper_step(model, state, X, y):
+    from ..training.autotuning import hyper_step
+
+    return hyper_step(model, state, X, y)
 
 
 def online_elbo(model: OnlineSVGP, state, x, y):

@@ -18,11 +18,19 @@ from ..training.state import TrainState
 from ..utils.opt import ascent_update
 
 
+def _kmat(model, x):
+    if getattr(model, "is_online", False):
+        from ..models.online_svgp import masked_kmat
+
+        return masked_kmat(model)
+    return analytic_vi.compute_kmat(model, x)
+
+
 def hyper_step(model, state: TrainState, x, y):
     """One gradient-ascent step on (kernel params, prior-mean params
     [, inducing points Z]) wrt the ELBO; recomputes the cached kernel
     matrices afterwards (reference: autotuning.jl:86-140)."""
-    opt_z = model.is_sparse and model.Zoptimiser is not None
+    opt_z = model.is_sparse and getattr(model, "Zoptimiser", None) is not None
 
     log_kernel = jax.tree_util.tree_map(jnp.log, model.kernel)
 
@@ -30,7 +38,7 @@ def hyper_step(model, state: TrainState, x, y):
 
         def neg_elbo(log_k, mean, Z):
             m2 = _rebuild(model, log_k, mean, Z)
-            kmat = analytic_vi.compute_kmat(m2, x)
+            kmat = _kmat(m2, x)
             return -objective(m2, state, x, y, kmat=kmat)
 
         g_k, g_m, g_z = jax.grad(neg_elbo, argnums=(0, 1, 2))(
@@ -40,7 +48,7 @@ def hyper_step(model, state: TrainState, x, y):
 
         def neg_elbo(log_k, mean):
             m2 = _rebuild(model, log_k, mean, None)
-            kmat = analytic_vi.compute_kmat(m2, x)
+            kmat = _kmat(m2, x)
             return -objective(m2, state, x, y, kmat=kmat)
 
         g_k, g_m = jax.grad(neg_elbo, argnums=(0, 1))(log_kernel, model.mean)
@@ -65,8 +73,7 @@ def hyper_step(model, state: TrainState, x, y):
     # refresh cached kernel matrices (the reference sets the
     # HyperParametersUpdated flag; we just recompute, reference
     # training/training.jl:167-208)
-    data_x = x if not model.is_sparse else x  # full models use their own X
-    kmat = analytic_vi.compute_kmat(model, data_x)
+    kmat = _kmat(model, x)
     return model, state.replace(hyper_state=hyper, kmat=kmat)
 
 
