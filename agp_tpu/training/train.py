@@ -71,16 +71,20 @@ def init_state(model, X=None, y=None, key=None) -> TrainState:
     )
 
 
+def _draw_batch(model, state, X, y, step):
+    """Minibatch for iteration `step`: key folded with the counter, so the
+    hyperparameter step can reproduce the exact batch whose local variables
+    are in the state (the reference reuses the iteration's minibatch for
+    its hyper update, training/training.jl:60-70)."""
+    sub = jax.random.fold_in(state.key, step)
+    idx = jax.random.randint(sub, (model.inference.batchsize,), 0, X.shape[0])
+    return jnp.take(X, idx, axis=0), jnp.take(y, idx, axis=0)
+
+
 def _vi_step_body(model, state: TrainState, X, y):
     """One CAVI iteration, including the on-device minibatch draw."""
     if model.inference.stochastic:
-        key, sub = jax.random.split(state.key)
-        idx = jax.random.randint(
-            sub, (model.inference.batchsize,), 0, X.shape[0]
-        )
-        x_b = jnp.take(X, idx, axis=0)
-        y_b = jnp.take(y, idx, axis=0)
-        state = state.replace(key=key)
+        x_b, y_b = _draw_batch(model, state, X, y, state.step)
     else:
         x_b, y_b = X, y
     if model.inference.name in ("QuadratureVI", "MCIntegrationVI"):
@@ -113,11 +117,9 @@ def _vi_steps(model, state: TrainState, X, y, n: int):
 @jax.jit
 def _hyper_step(model, state: TrainState, X, y):
     if model.inference.stochastic:
-        key, sub = jax.random.split(state.key)
-        idx = jax.random.randint(sub, (model.inference.batchsize,), 0, X.shape[0])
-        x_b = jnp.take(X, idx, axis=0)
-        y_b = jnp.take(y, idx, axis=0)
-        state = state.replace(key=key)
+        # same batch as the preceding CAVI step (state.step was already
+        # incremented, so fold with step - 1)
+        x_b, y_b = _draw_batch(model, state, X, y, state.step - 1)
     else:
         x_b, y_b = X, y
     return autotuning.hyper_step(model, state, x_b, y_b)

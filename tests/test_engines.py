@@ -238,3 +238,40 @@ def test_gig_sampler_moments():
     draws = sample_gig(key, a, b, 0.5)
     m_true = float(gig_mean(2.0, 3.0, 0.5))
     assert abs(float(draws.mean()) - m_true) / m_true < 0.05
+
+
+def test_cavi_gibbs_agreement_studentt(reg_data):
+    """CAVI fixed point vs exact augmented Gibbs for the inverse-Gamma
+    augmentation (self-consistency; PARITY_NOTES #3 rationale)."""
+    X, f, y = reg_data
+    lik = agp.StudentTLikelihood.create(4.0)
+    vg = agp.VGP.create(X, y, agp.SqExponentialKernel(), lik, agp.AnalyticVI(),
+                        optimiser=None)
+    vg, vst = agp.train(vg, iterations=40)
+    mg = agp.MCGP.create(X, y, agp.SqExponentialKernel(), lik,
+                         agp.GibbsSampling(n_burnin=200))
+    s = agp.sample(mg, 400, key=jax.random.PRNGKey(11))
+    mu_g = np.asarray(s.mean(0))[0]
+    mu_v = np.asarray(vst.mu)[0]
+    assert np.corrcoef(mu_g, mu_v)[0, 1] > 0.99
+    assert float(np.max(np.abs(mu_g - mu_v))) < 0.3
+
+
+def test_cavi_gibbs_agreement_poisson(reg_data):
+    """Poisson: the corrected theta = E[omega] makes CAVI agree with the
+    exact sampler (the reference's 2x convention would not)."""
+    X, f, _ = reg_data
+    y = np.random.RandomState(5).poisson(
+        10.0 * np.asarray(jax.nn.sigmoid(jnp.asarray(f)))
+    )
+    lik = agp.PoissonLikelihood.create(10.0)
+    vg = agp.VGP.create(X, y, agp.SqExponentialKernel(), lik, agp.AnalyticVI(),
+                        optimiser=None)
+    vg, vst = agp.train(vg, iterations=40)
+    mg = agp.MCGP.create(X, y, agp.SqExponentialKernel(),
+                         agp.PoissonLikelihood.create(float(vg.likelihood.lam)),
+                         agp.GibbsSampling(n_burnin=200))
+    s = agp.sample(mg, 400, key=jax.random.PRNGKey(12))
+    mu_g = np.asarray(s.mean(0))[0]
+    mu_v = np.asarray(vst.mu)[0]
+    assert np.corrcoef(mu_g, mu_v)[0, 1] > 0.95
