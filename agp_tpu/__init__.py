@@ -56,7 +56,15 @@ from .likelihoods.generic import make_augmented_likelihood
 from .means import AffineMean, ConstantMean, EmpiricalMean, ZeroMean
 from .models.gp import GP
 from .models.mcgp import MCGP, sample
-from .models.multioutput import MOSVGP, MOVGP, mo_elbo, mo_predict_f, mo_train
+from .models.multioutput import (
+    MOSVGP,
+    MOVGP,
+    mo_elbo,
+    mo_predict_f,
+    mo_predict_y,
+    mo_proba_y,
+    mo_train,
+)
 from .models.online_svgp import OnlineSVGP, online_elbo, online_train
 from .models.svgp import SVGP, VGP
 from .models.vstp import VStP

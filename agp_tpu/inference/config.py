@@ -38,23 +38,34 @@ class Analytic(InferenceConfig):
 class AnalyticVI(InferenceConfig):
     """Blockwise CAVI with closed-form natural-gradient updates
     (reference: inference/analyticVI.jl).  Non-stochastic: the natural
-    parameters jump straight to the coordinate-ascent optimum each step."""
+    parameters jump straight to the coordinate-ascent optimum each step.
+
+    minibatch_sampling: "gather" draws b iid indices (a random-access HBM
+    gather); "slice" takes a contiguous window at a random offset -- a
+    dynamic-slice, much cheaper on TPU; statistically equivalent when the
+    data rows are pre-shuffled."""
 
     stochastic: bool = False
     batchsize: int = 0
     optimiser: Optional[Any] = None  # optax transform for stochastic nat-grads
+    minibatch_sampling: str = "gather"
 
     @property
     def name(self):
         return "AnalyticVI"
 
 
-def AnalyticSVI(batchsize: int, optimiser=None) -> AnalyticVI:
+def AnalyticSVI(batchsize: int, optimiser=None, minibatch_sampling: str = "gather") -> AnalyticVI:
     """Stochastic AnalyticVI on minibatches with Robbins-Monro steps
     (reference: inference/analyticVI.jl:44-48)."""
     if optimiser is None:
         optimiser = robbins_monro()
-    return AnalyticVI(stochastic=True, batchsize=batchsize, optimiser=optimiser)
+    return AnalyticVI(
+        stochastic=True,
+        batchsize=batchsize,
+        optimiser=optimiser,
+        minibatch_sampling=minibatch_sampling,
+    )
 
 
 @dataclasses.dataclass(frozen=True)

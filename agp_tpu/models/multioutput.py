@@ -298,3 +298,28 @@ class MOVGP(MOSVGP):
         return super().create(
             kernel, likelihoods, inference, X, n_latent, **kw
         )
+
+
+def mo_proba_y(model, state, X_test):
+    """Per-task predictive distributions (reference: proba_multi_y,
+    predictions.jl:231-253)."""
+    mu_r, var_r = mo_predict_f(model, state, X_test)
+    out = []
+    for (lik, (s, e)) in zip(model.likelihoods, model.row_slices()):
+        if lik.n_latent == 1:
+            out.append(lik.compute_proba(mu_r[s], var_r[s]))
+        else:
+            out.append(lik.compute_proba(mu_r[s:e], var_r[s:e]))
+    return tuple(out)
+
+
+def mo_predict_y(model, state, X_test):
+    """Per-task label predictions."""
+    mu_r, _ = mo_predict_f(model, state, X_test)
+    out = []
+    for (lik, (s, e)) in zip(model.likelihoods, model.row_slices()):
+        if lik.n_latent == 1:
+            out.append(lik.predict_y(mu_r[s]))
+        else:
+            out.append(lik.predict_y(mu_r[s:e]))
+    return tuple(out)

@@ -77,7 +77,13 @@ def _draw_batch(model, state, X, y, step):
     are in the state (the reference reuses the iteration's minibatch for
     its hyper update, training/training.jl:60-70)."""
     sub = jax.random.fold_in(state.key, step)
-    idx = jax.random.randint(sub, (model.inference.batchsize,), 0, X.shape[0])
+    b = model.inference.batchsize
+    if getattr(model.inference, "minibatch_sampling", "gather") == "slice":
+        start = jax.random.randint(sub, (), 0, X.shape[0] - b + 1)
+        x_b = jax.lax.dynamic_slice_in_dim(X, start, b, axis=0)
+        y_b = jax.lax.dynamic_slice_in_dim(y, start, b, axis=0)
+        return x_b, y_b
+    idx = jax.random.randint(sub, (b,), 0, X.shape[0])
     return jnp.take(X, idx, axis=0), jnp.take(y, idx, axis=0)
 
 

@@ -36,7 +36,9 @@ def build_workload(dtype):
         lengthscale=jnp.asarray(2.0, dtype), variance=jnp.asarray(1.0, dtype)
     )
     lik = agp.LogisticLikelihood.create()
-    model = agp.SVGP.create(kern, lik, agp.AnalyticSVI(B), X[:M], optimiser=None)
+    model = agp.SVGP.create(
+        kern, lik, agp.AnalyticSVI(B, minibatch_sampling="slice"), X[:M], optimiser=None
+    )
     y2, tl = model.likelihood.treat_labels(y)
     model = model.replace(likelihood=tl)
     state = init_state(model, X, y2)

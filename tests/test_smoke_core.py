@@ -164,3 +164,59 @@ def test_hyperopt_improves_elbo():
     e1 = float(agp.elbo(m1, s1, X, y))
     e2 = float(agp.elbo(m2, s2, X, y))
     assert e2 > e1
+
+
+def test_svgp_stochastic_step_golden():
+    """One AnalyticSVI step from init must equal the hand-computed
+    Robbins-Monro-scaled stochastic natural gradient
+    (reference: analyticVI.jl:160-180, optimisers.jl:1-19)."""
+    from agp_tpu.config import jitter
+    from agp_tpu.training.train import _vi_step, init_state
+
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(40, 2, kern)
+    y = f
+    Z = X[:6]
+    b = 8
+    lik = agp.GaussianLikelihood.create(0.2, opt_noise=False)
+    model = agp.SVGP.create(kern, lik, agp.AnalyticSVI(b), Z, optimiser=None)
+    key = jax.random.PRNGKey(123)
+    state = agp.init_state(model, X, y, key=key)
+    model2, state2 = _vi_step(model, state, X, y)
+
+    # reproduce the device-side batch draw (fold_in(key, step=0))
+    sub = jax.random.fold_in(key, 0)
+    idx = jax.random.randint(sub, (b,), 0, X.shape[0])
+    xb, yb = X[idx], y[idx]
+    jitt = jitter(X.dtype)
+    Kmm = kern.gram(Z, Z) + jitt * jnp.eye(6)
+    Kinv = jnp.linalg.inv(Kmm)
+    kappa = kern.gram(xb, Z) @ Kinv
+    rho = 40.0 / b
+    gmu = yb / 0.2
+    theta = jnp.full((b,), 1.0 / 0.2)
+    d1 = kappa.T @ (rho * gmu) - 0.0  # eta1_0 = 0, mu0 = 0
+    d2 = -(kappa.T @ jnp.diag(rho * theta / 2.0) @ kappa + Kinv / 2.0) - (
+        -0.5 * jnp.eye(6)
+    )
+    lr = 1.0  # RobbinsMonro (tau + 0)^-kappa = 1
+    eta1_expected = lr * d1
+    eta2_expected = -0.5 * jnp.eye(6) + lr * d2
+    np.testing.assert_allclose(state2.eta1[0], eta1_expected, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(state2.eta2[0], eta2_expected, rtol=1e-6, atol=1e-9)
+
+
+def test_svgp_slice_sampling_converges():
+    """slice minibatching (contiguous windows over pre-shuffled data) reaches
+    the same quality as iid gather sampling."""
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(200, 2, kern)
+    y = np.asarray(f > 0, dtype=float) * 2 - 1
+    lik = agp.LogisticLikelihood.create()
+    model = agp.SVGP.create(
+        kern, lik, agp.AnalyticSVI(32, minibatch_sampling="slice"), X[:20],
+        optimiser=None,
+    )
+    model, state = agp.train(model, X, y, iterations=100)
+    err = float(jnp.mean(agp.predict_y(model, state, X) != jnp.asarray(y)))
+    assert err < 0.35
