@@ -275,3 +275,50 @@ def test_cavi_gibbs_agreement_poisson(reg_data):
     mu_g = np.asarray(s.mean(0))[0]
     mu_v = np.asarray(vst.mu)[0]
     assert np.corrcoef(mu_g, mu_v)[0, 1] > 0.95
+
+
+def test_sample_dispatch_hmc(cls_data):
+    X, f, y = cls_data
+    mg = agp.MCGP.create(X, y, agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+                         agp.HMCSampling(n_burnin=50, n_leapfrog=8))
+    s = agp.sample(mg, 50, key=jax.random.PRNGKey(21))
+    assert s.shape == (50, 1, 30)
+
+
+def test_mcgp_sample_predictions(cls_data):
+    from agp_tpu.models.mcgp import predict_f_samples, proba_y_mc
+
+    X, f, y = cls_data
+    mg = agp.MCGP.create(X, y, agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+                         agp.GibbsSampling(n_burnin=50))
+    s = agp.sample(mg, 100, key=jax.random.PRNGKey(22))
+    fp = predict_f_samples(mg, s, X[:10])
+    assert fp.shape == (100, 1, 10)
+    p = proba_y_mc(mg, s, X[:10])
+    assert p.shape == (10,)
+    assert bool(jnp.all((p >= 0) & (p <= 1)))
+
+
+def test_quadrature_svi_stochastic(cls_data):
+    X, f, y = cls_data
+    model = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+        agp.QuadratureSVI(16, n_points=20), Z=X[:8], optimiser=None,
+    )
+    model, state = agp.train(model, X, y, iterations=150)
+    pred = agp.predict_y(model, state, X)
+    assert float(jnp.mean(pred != jnp.asarray(y))) < 0.4
+
+
+def test_mc_svi_stochastic(cls_data):
+    from agp_tpu.inference.config import MCIntegrationSVI
+
+    X, f, _ = cls_data
+    y = np.asarray(np.asarray(f) > 0, dtype=int)
+    model = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.SoftMaxLikelihood.create(2),
+        MCIntegrationSVI(16, n_mc=32), Z=X[:8], optimiser=None,
+    )
+    model, state = agp.train(model, X, y, iterations=100)
+    pred = agp.predict_y(model, state, X)
+    assert float(jnp.mean(pred != jnp.asarray(y))) < 0.45
