@@ -18,6 +18,8 @@ from .inference.config import (
     HMCSampling,
     MCIntegrationSVI,
     MCIntegrationVI,
+    NumericalSVI,
+    NumericalVI,
     QuadratureSVI,
     QuadratureVI,
 )

@@ -152,3 +152,21 @@ class HMCSampling(InferenceConfig):
     @property
     def name(self):
         return "HMCSampling"
+
+
+def NumericalVI(integration_technique: str = "quad", **kw):
+    """General numerical-VI constructor (reference: numericalVI.jl:36-56)."""
+    if integration_technique == "quad":
+        return QuadratureVI(**kw)
+    if integration_technique == "mc":
+        return MCIntegrationVI(**kw)
+    raise ValueError("integration_technique must be 'quad' or 'mc'")
+
+
+def NumericalSVI(batchsize: int, integration_technique: str = "quad", **kw):
+    """Stochastic numerical VI (reference: numericalVI.jl:59-96)."""
+    if integration_technique == "quad":
+        return QuadratureSVI(batchsize, **kw)
+    if integration_technique == "mc":
+        return MCIntegrationSVI(batchsize, **kw)
+    raise ValueError("integration_technique must be 'quad' or 'mc'")

@@ -43,3 +43,22 @@ def as_2d(X, obsdim: int = 1) -> jnp.ndarray:
     elif obsdim == 2:
         X = X.T
     return X
+
+
+def model_repr(model) -> str:
+    """Compact summary (the reference's Base.show equivalents)."""
+    name = type(model).__name__
+    parts = []
+    lik = getattr(model, "likelihood", None)
+    if lik is not None:
+        parts.append(f"likelihood={type(lik).__name__}")
+    liks = getattr(model, "likelihoods", None)
+    if liks is not None:
+        parts.append(f"likelihoods=({', '.join(type(l).__name__ for l in liks)})")
+    inf = getattr(model, "inference", None)
+    if inf is not None:
+        parts.append(f"inference={inf.name}")
+    parts.append(f"n_latent={model.n_latent}")
+    if getattr(model, "is_sparse", False):
+        parts.append(f"n_inducing={model.n_inducing}")
+    return f"{name}({', '.join(parts)})"

@@ -131,3 +131,12 @@ def log_py(model: GP, state: TrainState) -> jnp.ndarray:
     N = y.shape[0]
     quad = jnp.sum((y - mu0) * state.alpha)
     return -0.5 * (quad + linalg.chol_logdet(state.chol_Sigma) + N * jnp.log(2 * jnp.pi))
+
+
+def _gp_repr(self):
+    from .base import model_repr
+
+    return model_repr(self)
+
+
+GP.__repr__ = _gp_repr

@@ -124,3 +124,12 @@ def proba_y_mc(model: MCGP, samples, X_test, key=None):
             return jnp.mean(vals[0], axis=0), jnp.mean(vals[1], axis=0)
         return jnp.mean(vals, axis=0)
     raise NotImplementedError
+
+
+def _mcgp_repr(self):
+    from .base import model_repr
+
+    return model_repr(self)
+
+
+MCGP.__repr__ = _mcgp_repr

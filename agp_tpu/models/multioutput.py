@@ -323,3 +323,12 @@ def mo_predict_y(model, state, X_test):
         else:
             out.append(lik.predict_y(mu_r[s:e]))
     return tuple(out)
+
+
+def _mosvgp_repr(self):
+    from .base import model_repr
+
+    return model_repr(self)
+
+
+MOSVGP.__repr__ = _mosvgp_repr

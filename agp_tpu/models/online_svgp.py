@@ -325,3 +325,12 @@ def online_elbo(model: OnlineSVGP, state, x, y):
     from ..inference.analytic_vi import elbo
 
     return elbo(model, state, x, y)
+
+
+def _onlinesvgp_repr(self):
+    from .base import model_repr
+
+    return model_repr(self)
+
+
+OnlineSVGP.__repr__ = _onlinesvgp_repr

@@ -137,3 +137,19 @@ class VGP(struct.PyTreeNode):
     @property
     def n_inducing(self):
         return self.train_x.shape[0]
+
+
+def _svgp_repr(self):
+    from .base import model_repr
+
+    return model_repr(self)
+
+
+SVGP.__repr__ = _svgp_repr
+def _vgp_repr(self):
+    from .base import model_repr
+
+    return model_repr(self)
+
+
+VGP.__repr__ = _vgp_repr

@@ -110,3 +110,12 @@ def local_prior_updates(model: VStP, state, x):
 
     l2, chi = jax.vmap(one)(state.mu, mu0, L_K, K_inv, state.Sigma)
     return state.replace(prior_state={"l2": l2, "chi": chi})
+
+
+def _vstp_repr(self):
+    from .base import model_repr
+
+    return model_repr(self)
+
+
+VStP.__repr__ = _vstp_repr
