@@ -122,12 +122,27 @@ def compute_kappa(model, x, kmat):
 
 def latent_moments(model, state: TrainState, x, kmat):
     """mean_f/var_f of the latent function at the batch
-    (reference: gpblocks/latentgp.jl:171-189)."""
+    (reference: gpblocks/latentgp.jl:171-189).
+
+    The n_latent == 1 sparse path uses unbatched [B, M] matmuls: batch-1
+    einsums/vmapped ops lower poorly on TPU (measured 3.5x slower per CAVI
+    step than the squeezed forms)."""
     if model.is_sparse:
         if getattr(model, "is_online", False):
             from ..models.online_svgp import masked_kappa
 
             _, kappa, Ktilde = masked_kappa(model, x, kmat)
+        elif model.n_latent == 1:
+            kernel1 = jax.tree_util.tree_map(lambda l: l[0], model.kernel)
+            Knm = kernel1.gram(x, model.Z[0])  # [B, M]
+            kappa1 = Knm @ kmat["K_inv"][0]
+            Ktilde1 = (
+                kernel1.diag(x) + jitter(Knm.dtype) - jnp.sum(kappa1 * Knm, axis=1)
+            )
+            Ktilde1 = jnp.maximum(Ktilde1, 1e-12)
+            mu_f = (kappa1 @ state.mu[0])[None]
+            vf = Ktilde1 + jnp.sum((kappa1 @ state.Sigma[0]) * kappa1, axis=1)
+            return mu_f, vf[None], kappa1[None]
         else:
             _, kappa, Ktilde = compute_kappa(model, x, kmat)
         mu_f = jnp.einsum("lbm,lm->lb", kappa, state.mu)
@@ -184,6 +199,12 @@ def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> Train
             s1, S2 = pk.cavi_stats(kappa[0], rho * gmu[0], rho * gs[0])
             nat1_target = s1[None].astype(kappa.dtype) + Kinv_mu0
             stat2 = S2[None].astype(kappa.dtype)
+        elif model.n_latent == 1 and not getattr(model, "is_online", False):
+            k1 = kappa[0]
+            s1 = k1.T @ (rho * gmu[0])
+            S2 = (k1 * (rho * gs[0])[:, None]).T @ k1
+            nat1_target = s1[None] + Kinv_mu0
+            stat2 = S2[None]
         else:
             nat1_target = jnp.einsum("lbm,lb->lm", kappa, rho * gmu) + Kinv_mu0
             stat2 = jnp.einsum(
@@ -213,7 +234,13 @@ def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> Train
         eta1 = gmu + Kinv_mu0
         eta2 = linalg.symmetrize(-(jax.vmap(jnp.diag)(gs) + 0.5 * K_inv))
 
-    mu, Sigma = jax.vmap(linalg.nat_to_moments)(eta1, eta2)
+    if model.n_latent == 1:
+        # unbatched 64x64 Cholesky/solves: batch-1 vmapped linalg lowers
+        # poorly on TPU
+        mu1, Sigma1 = linalg.nat_to_moments(eta1[0], eta2[0])
+        mu, Sigma = mu1[None], Sigma1[None]
+    else:
+        mu, Sigma = jax.vmap(linalg.nat_to_moments)(eta1, eta2)
     return state.replace(eta1=eta1, eta2=eta2, mu=mu, Sigma=Sigma)
 
 

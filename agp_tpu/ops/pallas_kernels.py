@@ -166,3 +166,130 @@ def cavi_stats(kappa, g, theta, tile_b=512):
         theta.astype(jnp.float32)[:, None],
     )
     return s1[0], s2
+
+
+# ------------------------------------------------- fused full CAVI statistics
+def _cavi_fused_kernel(
+    x_ref, y_ref, z_ref, kinv_ref, mu_ref, sigma_ref, params_ref,
+    s1_ref, s2_ref, *, kind, lik,
+):
+    """One pass per B-tile: gram -> kappa -> Ktilde -> latent moments ->
+    likelihood E-step -> statistic accumulation.  Everything VMEM-resident;
+    the minibatch tile is read exactly once from HBM."""
+    i = pl.program_id(0)
+    ls = params_ref[0]
+    var = params_ref[1]
+    jitt = params_ref[2]
+    rho = params_ref[3]
+    p0 = params_ref[4]  # likelihood parameter (sigma2 / nu etc.)
+    p1 = params_ref[5]
+
+    x = x_ref[:] / ls
+    z = z_ref[:] / ls
+    xx = jnp.sum(x * x, axis=1, keepdims=True)
+    zz = jnp.sum(z * z, axis=1, keepdims=True).T
+    r2 = jnp.maximum(xx + zz - 2.0 * jnp.dot(x, z.T, preferred_element_type=jnp.float32), 0.0)
+    if kind == "rbf":
+        knm = var * jnp.exp(-0.5 * r2)
+    elif kind == "matern32":
+        r = jnp.sqrt(jnp.maximum(3.0 * r2, 1e-36))
+        knm = var * (1.0 + r) * jnp.exp(-r)
+    elif kind == "matern52":
+        r = jnp.sqrt(jnp.maximum(5.0 * r2, 1e-36))
+        knm = var * (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+    else:
+        r = jnp.sqrt(jnp.maximum(r2, 1e-36))
+        knm = var * jnp.exp(-r)
+    kappa = jnp.dot(knm, kinv_ref[:], preferred_element_type=jnp.float32)
+    ktilde = jnp.maximum(
+        var + jitt - jnp.sum(kappa * knm, axis=1, keepdims=True), 1e-12
+    )  # [TB, 1]
+    mf = jnp.dot(kappa, mu_ref[:], preferred_element_type=jnp.float32)  # [TB, 1]
+    kS = jnp.dot(kappa, sigma_ref[:], preferred_element_type=jnp.float32)
+    vf = ktilde + jnp.sum(kS * kappa, axis=1, keepdims=True)  # [TB, 1]
+    yb = y_ref[:]  # [TB, 1]
+
+    if lik == "logistic":
+        c = jnp.sqrt(mf * mf + vf)
+        theta = jnp.tanh(c / 2.0) / (2.0 * c)
+        gmu = yb / 2.0
+        gs = theta / 2.0
+    elif lik == "gaussian":
+        theta = 1.0 / p0  # sigma2
+        gmu = yb / p0
+        gs = jnp.full_like(mf, theta / 2.0)
+    elif lik == "studentt":
+        # p0 = nu, p1 = sigma^2
+        c = ((mf - yb) ** 2 + vf + p1 * p0) / 2.0
+        theta = ((p0 + 1.0) / 2.0) / c
+        gmu = theta * yb
+        gs = theta / 2.0
+    else:
+        raise ValueError(lik)
+
+    @pl.when(i == 0)
+    def _():
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        s2_ref[:] = jnp.zeros_like(s2_ref)
+
+    s1_ref[:] += jnp.sum(kappa * (rho * gmu), axis=0, keepdims=True)
+    s2_ref[:] += jnp.dot(
+        (kappa * (rho * gs)).T, kappa, preferred_element_type=jnp.float32
+    )
+
+
+_FUSED_LIKS = ("logistic", "gaussian", "studentt")
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "lik", "tile_b"))
+def fused_cavi_stats(
+    xb, yb, Z, K_inv, mu, Sigma, lengthscale, variance, jitt, rho,
+    lik_p0=0.0, lik_p1=0.0, kind="rbf", lik="logistic", tile_b=1024,
+):
+    """Fused statistics for one CAVI step (single latent GP):
+    returns (s1 [M], S2 [M, M]) = (kappa^T rho gmu, kappa^T diag(rho gs) kappa).
+    """
+    B, D = xb.shape
+    M = Z.shape[0]
+    Bp = _round_up(B, tile_b)
+    if Bp != B:
+        xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
+        yb = jnp.pad(yb, (0, Bp - B))
+    params = jnp.stack([
+        jnp.asarray(lengthscale, jnp.float32).reshape(()),
+        jnp.asarray(variance, jnp.float32).reshape(()),
+        jnp.asarray(jitt, jnp.float32).reshape(()),
+        jnp.asarray(rho, jnp.float32).reshape(()),
+        jnp.asarray(lik_p0, jnp.float32).reshape(()),
+        jnp.asarray(lik_p1, jnp.float32).reshape(()),
+    ])
+    s1, s2 = pl.pallas_call(
+        functools.partial(_cavi_fused_kernel, kind=kind, lik=lik),
+        grid=(Bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, D), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
+            pl.BlockSpec((M, D), lambda i: (0, 0)),
+            pl.BlockSpec((M, M), lambda i: (0, 0)),
+            pl.BlockSpec((M, 1), lambda i: (0, 0)),
+            pl.BlockSpec((M, M), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, M), lambda i: (0, 0)),
+            pl.BlockSpec((M, M), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((M, M), jnp.float32),
+        ],
+    )(
+        xb.astype(jnp.float32),
+        yb.astype(jnp.float32)[:, None],
+        Z.astype(jnp.float32),
+        K_inv.astype(jnp.float32),
+        mu.astype(jnp.float32)[:, None],
+        Sigma.astype(jnp.float32),
+        params,
+    )
+    return s1[0], s2
