@@ -170,7 +170,7 @@ def cavi_stats(kappa, g, theta, tile_b=512):
 
 # ------------------------------------------------- fused full CAVI statistics
 def _cavi_fused_kernel(
-    x_ref, y_ref, z_ref, kinv_ref, mu_ref, sigma_ref, params_ref,
+    x_ref, y_ref, mask_ref, z_ref, kinv_ref, mu_ref, sigma_ref, params_ref,
     s1_ref, s2_ref, *, kind, lik,
 ):
     """One pass per B-tile: gram -> kappa -> Ktilde -> latent moments ->
@@ -232,9 +232,11 @@ def _cavi_fused_kernel(
         s1_ref[:] = jnp.zeros_like(s1_ref)
         s2_ref[:] = jnp.zeros_like(s2_ref)
 
-    s1_ref[:] += jnp.sum(kappa * (rho * gmu), axis=0, keepdims=True)
+    # mask out padded rows (their gram values against Z are NOT zero)
+    m = mask_ref[:]  # [TB, 1]
+    s1_ref[:] += jnp.sum(kappa * (rho * gmu * m), axis=0, keepdims=True)
     s2_ref[:] += jnp.dot(
-        (kappa * (rho * gs)).T, kappa, preferred_element_type=jnp.float32
+        (kappa * (rho * gs * m)).T, kappa, preferred_element_type=jnp.float32
     )
 
 
@@ -252,9 +254,11 @@ def fused_cavi_stats(
     B, D = xb.shape
     M = Z.shape[0]
     Bp = _round_up(B, tile_b)
+    mask = jnp.ones((B,), jnp.float32)
     if Bp != B:
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
         yb = jnp.pad(yb, (0, Bp - B))
+        mask = jnp.pad(mask, (0, Bp - B))
     params = jnp.stack([
         jnp.asarray(lengthscale, jnp.float32).reshape(()),
         jnp.asarray(variance, jnp.float32).reshape(()),
@@ -268,6 +272,7 @@ def fused_cavi_stats(
         grid=(Bp // tile_b,),
         in_specs=[
             pl.BlockSpec((tile_b, D), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
             pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
             pl.BlockSpec((M, D), lambda i: (0, 0)),
             pl.BlockSpec((M, M), lambda i: (0, 0)),
@@ -286,6 +291,7 @@ def fused_cavi_stats(
     )(
         xb.astype(jnp.float32),
         yb.astype(jnp.float32)[:, None],
+        mask[:, None],
         Z.astype(jnp.float32),
         K_inv.astype(jnp.float32),
         mu.astype(jnp.float32)[:, None],
