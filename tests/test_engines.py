@@ -322,3 +322,17 @@ def test_mc_svi_stochastic(cls_data):
     model, state = agp.train(model, X, y, iterations=100)
     pred = agp.predict_y(model, state, X)
     assert float(jnp.mean(pred != jnp.asarray(y))) < 0.45
+
+
+def test_heteroscedastic_gibbs(reg_data):
+    """Gibbs path for the two-latent heteroscedastic likelihood (Poisson +
+    PG(gamma + 1/2) draws per sweep)."""
+    X, f, y = reg_data
+    mg = agp.MCGP.create(X, y, agp.SqExponentialKernel(),
+                         agp.HeteroscedasticLikelihood.create(5.0),
+                         agp.GibbsSampling(n_burnin=50))
+    s = agp.sample(mg, 100, key=jax.random.PRNGKey(31))
+    assert s.shape == (100, 2, 30)
+    assert bool(jnp.all(jnp.isfinite(s)))
+    mean_f = np.asarray(s.mean(0))[0]
+    assert np.corrcoef(mean_f, np.asarray(f))[0, 1] > 0.8
