@@ -23,11 +23,39 @@ from ..config import jitter
 
 
 def safe_cholesky(K: jnp.ndarray, jitt: float | None = None) -> jnp.ndarray:
-    """Lower Cholesky factor of ``K + jitt*I`` (jitter scaled by dtype)."""
+    """Lower Cholesky factor of ``K + jitt*I`` with an adaptive jitter
+    ladder: if the factorization fails (NaNs -- common for large-N RBF
+    Grams in float32), the jitter is multiplied by 10, up to 4 times.
+    The ladder is a bounded lax.while_loop, so the Cholesky is traced once
+    (the reference's fixed dtype-scaled jitter, functions/utils.jl:8-13,
+    is the first rung)."""
     if jitt is None:
         jitt = jitter(K.dtype)
     M = K.shape[-1]
-    return jnp.linalg.cholesky(K + jitt * jnp.eye(M, dtype=K.dtype))
+    eye = jnp.eye(M, dtype=K.dtype)
+
+    # pick the jitter level on a stop_gradient'd copy (the discrete choice is
+    # non-differentiable; keeping the ladder out of the AD graph also keeps
+    # reverse-mode through lax.while_loop legal)
+    Ksg = jax.lax.stop_gradient(K)
+
+    def ok(j):
+        return jnp.logical_not(
+            jnp.any(jnp.isnan(jnp.linalg.cholesky(Ksg + j * eye)))
+        )
+
+    def cond(carry):
+        j, tries = carry
+        return jnp.logical_and(jnp.logical_not(ok(j)), tries < 4)
+
+    def body(carry):
+        j, tries = carry
+        return j * 10.0, tries + 1
+
+    j_star, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(jitt, K.dtype), jnp.zeros([], jnp.int32))
+    )
+    return jnp.linalg.cholesky(K + j_star * eye)
 
 
 def chol_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
