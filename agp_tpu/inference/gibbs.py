@@ -12,8 +12,6 @@ One step (reference gibbssampling.jl:50-60):
 """
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

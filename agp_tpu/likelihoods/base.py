@@ -19,7 +19,7 @@ elementwise, replacing the reference's ForwardDiff fallback
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

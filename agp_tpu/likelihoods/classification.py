@@ -22,7 +22,7 @@ import numpy as np
 
 from ..ops.kl import polya_gamma_kl
 from ..ops.quadrature import expectation
-from ..ops.special import besselk_half, log_besselk_half, sqrt_expec_square
+from ..ops.special import log_besselk_half, sqrt_expec_square
 from .base import SingleLatentLikelihood
 
 LOG2 = 0.6931471805599453

@@ -14,7 +14,7 @@ from flax import struct
 
 from ..config import jitter
 from ..inference.config import GibbsSampling, InferenceConfig
-from ..kernels import batch_diag, batch_gram
+from ..kernels import batch_gram
 from ..likelihoods.base import Likelihood
 from ..means import PriorMean, ZeroMean
 from ..ops import linalg

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 
 from ..inference import analytic_vi
-from ..inference.config import Analytic, AnalyticVI
 from ..models.gp import GP, analytic_update
 from ..training import autotuning
 from ..training.state import TrainState, init_var_posterior

@@ -336,3 +336,20 @@ def test_heteroscedastic_gibbs(reg_data):
     assert bool(jnp.all(jnp.isfinite(s)))
     mean_f = np.asarray(s.mean(0))[0]
     assert np.corrcoef(mean_f, np.asarray(f))[0, 1] > 0.8
+
+
+def test_quadrature_vi_with_hyperopt(reg_data):
+    """Hyperparameter autotuning through the numerical-VI objective."""
+    import optax
+
+    X, f, y = reg_data
+    model = agp.VGP.create(
+        X, y, agp.SqExponentialKernel(lengthscale=jnp.asarray(3.0)),
+        agp.StudentTLikelihood.create(4.0), agp.QuadratureVI(n_points=20),
+        optimiser=optax.adam(0.05),
+    )
+    model, state = agp.train(model, iterations=40)
+    ls = float(model.kernel.lengthscale[0])
+    assert ls != 3.0  # moved
+    mu = agp.predict_f(model, state, X)
+    assert float(jnp.mean(jnp.abs(mu - f))) < 1.0
