@@ -72,7 +72,7 @@ from .models.svgp import SVGP, VGP
 from .models.vstp import VStP
 from .training import checkpoint
 from .training.ar_predict import predict_ar, sample_ar
-from .training.predictions import predict_f, predict_y, proba_y
+from .training.predictions import predict_f, predict_y, proba_y, sample_f
 from .training.train import elbo, init_state, train
 from .utils.opt import robbins_monro
 

@@ -39,8 +39,11 @@ def _predict_f_var(model, state, X_test, diag: bool = True, full_cov: bool = Fal
     )
     if full_cov:
         k_ss = batch_gram(model.kernel, X_test, X_test)
-        cov = k_ss + jitter(mu_f.dtype) * eye[: X_test.shape[0], : X_test.shape[0]] - jnp.einsum(
-            "lnm,lmk,lpk->lnp", k_star, A, k_star
+        n = X_test.shape[0]
+        cov = (
+            k_ss
+            + jitter(mu_f.dtype) * jnp.eye(n, dtype=mu_f.dtype)
+            - jnp.einsum("lnm,lmk,lpk->lnp", k_star, A, k_star)
         )
         return mu_f, cov
     k_ss = batch_diag(model.kernel, X_test) + jitter(mu_f.dtype)
@@ -116,3 +119,27 @@ def proba_y(model, state, X_test, key=None, **kwargs):
             key = jax.random.PRNGKey(42)
         return lik.compute_proba(mu_f, var_f, key=key, **kwargs)
     return lik.compute_proba(mu_f, var_f)
+
+
+def sample_f(model, state, X_test, n_samples: int = 1, key=None):
+    """Draw joint samples from the latent predictive
+    f* ~ N(mu*, Sigma*) (full covariance).  Returns [S, L, n] (latent axis
+    squeezed for single-latent models).  The reference exposes this
+    indirectly through `rand` on the posterior (models/AbstractGP.jl)."""
+    from ..models.base import as_2d
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    X_test = as_2d(jnp.asarray(X_test))
+    if isinstance(model, GP):
+        mu_f, cov = _predict_f_gp(model, state, X_test, diag=False)
+    else:
+        mu_f, cov = _predict_f_var(model, state, X_test, diag=False, full_cov=True)
+    n = X_test.shape[0]
+    L_c = jnp.linalg.cholesky(
+        cov + jitter(mu_f.dtype) * jnp.eye(n, dtype=mu_f.dtype)[None]
+    )
+    eps = jax.random.normal(key, (n_samples,) + mu_f.shape, dtype=mu_f.dtype)
+    samples = mu_f[None] + jnp.einsum("lnm,slm->sln", L_c, eps)
+    if model.n_latent == 1:
+        return samples[:, 0]
+    return samples

@@ -220,3 +220,16 @@ def test_svgp_slice_sampling_converges():
     model, state = agp.train(model, X, y, iterations=100)
     err = float(jnp.mean(agp.predict_y(model, state, X) != jnp.asarray(y)))
     assert err < 0.35
+
+
+def test_sample_f_joint_predictive():
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(30, 2, kern)
+    m = agp.SVGP.create(kern, agp.GaussianLikelihood.create(1e-3, opt_noise=False),
+                        agp.AnalyticVI(), X[:10], optimiser=None)
+    m, s = agp.train(m, X, np.asarray(f), iterations=10)
+    fs = agp.sample_f(m, s, X[:12], n_samples=200, key=jax.random.PRNGKey(0))
+    assert fs.shape == (200, 12)
+    mu, var = agp.predict_f(m, s, X[:12], cov=True)
+    # empirical moments match the predictive
+    np.testing.assert_allclose(np.asarray(fs.mean(0)), np.asarray(mu), atol=0.2)
