@@ -15,8 +15,12 @@ training, mirroring the reference's state-threading resume).
 from __future__ import annotations
 
 import os
-import pickle
 from typing import Any, Tuple
+
+try:  # closures (optax transforms, robbins_monro) need cloudpickle
+    import cloudpickle as pickle
+except Exception:  # pragma: no cover
+    import pickle
 
 import jax
 import numpy as np
