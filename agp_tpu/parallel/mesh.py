@@ -167,3 +167,18 @@ def sharded_svi_train(
     for _ in range(iterations):
         model, state = step(model, state, Xs, ys)
     return model, state
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host bring-up: call once per host before building meshes
+    (the TPU-native replacement for the reference's nonexistent distributed
+    backend; jax.distributed handles the rendezvous over DCN)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    return make_mesh()
