@@ -45,6 +45,16 @@ def as_2d(X, obsdim: int = 1) -> jnp.ndarray:
     return X
 
 
+def match_dtype(y, X) -> jnp.ndarray:
+    """Cast float labels to the input dtype: treat_labels works host-side in
+    float64; mixing it with f32 inputs would silently promote the whole
+    training state under x64."""
+    y = jnp.asarray(y)
+    if jnp.issubdtype(y.dtype, jnp.floating) and y.dtype != X.dtype:
+        y = y.astype(X.dtype)
+    return y
+
+
 def model_repr(model) -> str:
     """Compact summary (the reference's Base.show equivalents)."""
     name = type(model).__name__

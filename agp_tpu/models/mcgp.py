@@ -40,6 +40,9 @@ class MCGP(struct.PyTreeNode):
         check_implemented(likelihood, inference)
         X = as_2d(X)
         y, likelihood = likelihood.treat_labels(y)
+        from .base import match_dtype
+
+        y = match_dtype(y, X)
         n_latent = likelihood.n_latent
         mean = ZeroMean() if mean is None else mean
         kernel, mean = prepare_components(kernel, likelihood, mean, n_latent)

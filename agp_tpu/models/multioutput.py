@@ -230,9 +230,12 @@ def mo_train(model, Xs, ys, iterations=100, state=None, key=None):
     from ..inference.analytic_vi import compute_kmat
 
     X = as_2d(Xs)
+    from .base import match_dtype
+
     new_ys, liks = [], []
     for lik, y_t in zip(model.likelihoods, ys):
         y2, lik2 = lik.treat_labels(y_t)
+        y2 = match_dtype(y2, X)
         new_ys.append(y2)
         liks.append(lik2)
     ys = tuple(new_ys)

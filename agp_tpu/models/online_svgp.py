@@ -255,6 +255,9 @@ def online_train(model: OnlineSVGP, X, y, state=None, iterations: int = 20, key=
 
     X = as_2d(X)
     y, lik = model.likelihood.treat_labels(y)
+    from .base import match_dtype
+
+    y = match_dtype(y, X)
     model = model.replace(likelihood=lik)
     key = jax.random.PRNGKey(0) if key is None else key
     dtype = X.dtype

@@ -86,6 +86,9 @@ def sharded_train(model, X, y, iterations: int, mesh: Mesh | None = None, state=
 
     X = as_2d(X)
     y, lik = model.likelihood.treat_labels(y)
+    from ..models.base import match_dtype
+
+    y = match_dtype(y, X)
     model = model.replace(likelihood=lik)
     Xs, ys = shard_batch(mesh, X, y)
     if state is None:
@@ -149,6 +152,9 @@ def sharded_svi_train(
         batch_per_device = max(model.inference.batchsize // n_dev, 1)
     X = as_2d(X)
     y, lik = model.likelihood.treat_labels(y)
+    from ..models.base import match_dtype
+
+    y = match_dtype(y, X)
     model = model.replace(likelihood=lik)
     Xs, ys = shard_batch(mesh, X, y)
     if state is None:

@@ -174,6 +174,9 @@ def train(
 
         X = as_2d(X)
         y, lik = model.likelihood.treat_labels(y)
+        from ..models.base import match_dtype
+
+        y = match_dtype(y, X)
         model = model.replace(likelihood=lik)
         if hasattr(model, "train_x"):
             model = model.replace(train_x=X, train_y=y)

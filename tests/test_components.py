@@ -156,3 +156,20 @@ def test_gauss_hermite_expectation():
     var = jnp.asarray([2.0, 0.3])
     e = expectation(lambda f: f**2, mu, var)
     np.testing.assert_allclose(np.asarray(e), [0.25 + 2.0, 1.0 + 0.3], rtol=1e-8)
+
+
+def test_float32_end_to_end():
+    """f32 inputs must train f32 throughout (the TPU production dtype),
+    even with x64 globally enabled."""
+    X = jax.random.uniform(jax.random.PRNGKey(0), (60, 2), dtype=jnp.float32) * 4
+    f = jnp.sin(X[:, 0])
+    y = np.sign(np.asarray(f)).astype(np.float32)
+    kern = agp.SqExponentialKernel(
+        lengthscale=jnp.asarray(1.0, jnp.float32), variance=jnp.asarray(1.0, jnp.float32)
+    )
+    m = agp.SVGP.create(kern, agp.LogisticLikelihood.create(),
+                        agp.AnalyticSVI(16), X[:10], optimiser=None)
+    m, s = agp.train(m, X, y, iterations=80)
+    assert s.mu.dtype == jnp.float32
+    acc = float(jnp.mean((agp.predict_f(m, s, X) > 0) == (jnp.asarray(y) > 0)))
+    assert acc > 0.8
