@@ -74,7 +74,10 @@ from .training import checkpoint
 from .training.ar_predict import predict_ar, sample_ar
 from .training.predictions import predict_f, predict_y, proba_y, sample_f
 from .training.train import elbo, init_state, train
-from .utils.opt import robbins_monro
+from .utils.opt import alrsvi, robbins_monro
+
+# reference-familiar aliases (src/AugmentedGaussianProcesses.jl exports)
+ELBO = elbo
 
 __version__ = "0.1.0"
 
@@ -98,5 +101,12 @@ __all__ = [
     "GibbsSampling",
     "HMCSampling",
     "robbins_monro",
+    "alrsvi",
+    "ELBO",
+    "sample_f",
+    "sample",
+    "sample_hmc",
+    "smc_sample",
+    "make_augmented_likelihood",
     "kernels",
 ]
