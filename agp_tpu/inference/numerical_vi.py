@@ -59,9 +59,6 @@ def mc_grads(lik, key, y, mu, var, n_mc: int, clipping: float):
     sd = jnp.sqrt(jnp.maximum(var, 0.0))
     f = mu[None] + sd[None] * eps  # [S, L, B]
 
-    def logp_sum(fs):
-        return jnp.sum(lik.log_prob(y if lik.n_latent > 1 else y, fs))
-
     if lik.n_latent == 1:
         yb = jnp.broadcast_to(y, f.shape)
         g = lik.grad_log_prob(yb, f)

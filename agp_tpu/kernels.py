@@ -27,11 +27,30 @@ def _scale(X: jnp.ndarray, lengthscale) -> jnp.ndarray:
     return X / lengthscale
 
 
+def _use_bf16_gram() -> bool:
+    import os
+
+    return bool(os.environ.get("AGP_TPU_BF16_GRAM"))
+
+
 def sq_dist(X: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise squared Euclidean distance via the matmul identity."""
+    """Pairwise squared Euclidean distance via the matmul identity.
+
+    With AGP_TPU_BF16_GRAM=1 the cross-term matmul runs in bfloat16 with
+    float32 accumulation (2x MXU rate); the norm terms stay f32 so the
+    diagonal is exact.  Off by default: ~1e-2 relative error in the Gram is
+    usually harmless for CAVI (a fixed-point iteration) but changes ELBO
+    values slightly."""
     xx = jnp.sum(X * X, axis=-1)
     zz = jnp.sum(Z * Z, axis=-1)
-    xz = X @ Z.T
+    if _use_bf16_gram() and X.dtype == jnp.float32:
+        xz = jnp.dot(
+            X.astype(jnp.bfloat16),
+            Z.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        xz = X @ Z.T
     d2 = xx[:, None] + zz[None, :] - 2.0 * xz
     return jnp.maximum(d2, 0.0)
 
