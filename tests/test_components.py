@@ -173,3 +173,23 @@ def test_float32_end_to_end():
     assert s.mu.dtype == jnp.float32
     acc = float(jnp.mean((agp.predict_f(m, s, X) > 0) == (jnp.asarray(y) > 0)))
     assert acc > 0.8
+
+
+def test_plotting_ribbon(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from agp_tpu.utils.plotting import plot_gp
+
+    X = jnp.linspace(0, 5, 40)[:, None]
+    f = jnp.sin(X[:, 0])
+    m = agp.SVGP.create(agp.SqExponentialKernel(),
+                        agp.GaussianLikelihood.create(1e-2, opt_noise=False),
+                        agp.AnalyticVI(), X[:8], optimiser=None)
+    m, s = agp.train(m, X, np.asarray(f), iterations=10)
+    ax = plot_gp(m, s, X, X_train=X, y_train=np.asarray(f))
+    assert ax is not None
+    import matplotlib.pyplot as plt
+
+    plt.savefig(tmp_path / "ribbon.png")
+    assert (tmp_path / "ribbon.png").stat().st_size > 0
