@@ -144,3 +144,50 @@ def test_incompatible_raises():
             agp.GibbsSampling(),
             np.zeros((5, 2)),
         )
+
+
+def test_compatibility_matrix_is_enforced():
+    """The likelihood x inference compatibility matrix as an executable spec
+    (the reference's tests_likelihood Dict pattern, test/testingtools.jl):
+    constructors must succeed exactly on the implemented() combinations."""
+    liks = [
+        agp.GaussianLikelihood.create(0.1),
+        agp.StudentTLikelihood.create(3.0),
+        agp.LaplaceLikelihood.create(),
+        agp.LogisticLikelihood.create(),
+        agp.BayesianSVM.create(),
+        agp.PoissonLikelihood.create(5.0),
+        agp.NegBinomialLikelihood.create(5.0),
+        agp.HeteroscedasticLikelihood.create(2.0),
+        agp.LogisticSoftMaxLikelihood.create(3),
+        agp.SoftMaxLikelihood.create(3),
+        agp.Matern32Likelihood.create(),
+    ]
+    infs = [
+        agp.AnalyticVI(),
+        agp.QuadratureVI(n_points=10),
+        agp.MCIntegrationVI(n_mc=8),
+        agp.GibbsSampling(),
+        agp.HMCSampling(),
+    ]
+    Z = np.zeros((4, 2))
+    X = np.random.RandomState(0).randn(8, 2)
+    for lik in liks:
+        for inf in infs:
+            expected_ok = inf.name in type(lik).implemented()
+            if inf.name in ("GibbsSampling", "HMCSampling"):
+                make = lambda: agp.MCGP.create(X, np.zeros(8), agp.SqExponentialKernel(), lik, inf)
+            else:
+                make = lambda: agp.SVGP.create(agp.SqExponentialKernel(), lik, inf, Z)
+            if expected_ok:
+                try:
+                    make()
+                except ValueError as e:  # pragma: no cover
+                    raise AssertionError(
+                        f"{type(lik).__name__} x {inf.name} should be allowed: {e}"
+                    )
+                except Exception:
+                    pass  # label validation may reject zeros; gate passed
+            else:
+                with pytest.raises(ValueError):
+                    make()
