@@ -54,6 +54,7 @@ from .likelihoods.regression import (
 )
 from .inference.hmc import sample_hmc
 from .inference.smc import smc_sample
+from .inference.svgd import svgd_sample
 from .likelihoods.generic import make_augmented_likelihood
 from .means import AffineMean, ConstantMean, EmpiricalMean, ZeroMean
 from .models.gp import GP

@@ -1,3 +1,17 @@
-from .algorithms import KmeansAlg, OIPS, RandomSubset, UniGrid, inducingpoints
+from .algorithms import (
+    GreedyVariance,
+    KmeansAlg,
+    OIPS,
+    RandomSubset,
+    UniGrid,
+    inducingpoints,
+)
 
-__all__ = ["KmeansAlg", "OIPS", "RandomSubset", "UniGrid", "inducingpoints"]
+__all__ = [
+    "GreedyVariance",
+    "KmeansAlg",
+    "OIPS",
+    "RandomSubset",
+    "UniGrid",
+    "inducingpoints",
+]

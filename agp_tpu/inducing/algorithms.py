@@ -116,7 +116,7 @@ class OIPS:
 
 def inducingpoints(alg, X, key=None, kernel=None):
     """Select an initial inducing set (reference: InducingPoints.inducingpoints)."""
-    if isinstance(alg, OIPS):
+    if isinstance(alg, (OIPS, GreedyVariance)):
         return alg(X, key=key, kernel=kernel)
     return alg(X, key=key)
 
@@ -150,3 +150,39 @@ def oips_update(kernel, Z, mask, X_batch, rho: float):
 
     (Z, mask), _ = jax.lax.scan(body, (Z, mask), X_batch)
     return Z, mask
+
+
+@dataclasses.dataclass(frozen=True)
+class GreedyVariance:
+    """Greedy conditional-variance selection (Burt et al. '20): repeatedly
+    add the point with the largest posterior conditional variance given the
+    already-selected set.  Vectorized over candidates; O(k N) per step."""
+
+    k: int
+
+    def __call__(self, X, key=None, kernel=None):
+        X = np.asarray(X)
+        N = X.shape[0]
+        if kernel is None:
+            kfn = lambda A, B: np.exp(
+                -0.5 * ((A[:, None] - B[None]) ** 2).sum(-1)
+            )
+            kdiag = np.ones(N)
+        else:
+            kfn = lambda A, B: np.asarray(kernel.gram(jnp.asarray(A), jnp.asarray(B)))
+            kdiag = np.asarray(kernel.diag(jnp.asarray(X)))
+        k = min(self.k, N)
+        chosen = [int(np.argmax(kdiag))]
+        # running Cholesky-style residual variance
+        V = np.zeros((k, N))  # rows: (K_zx - partial) / sqrt(cond var)
+        cond_var = kdiag.copy().astype(np.float64)
+        for i in range(k - 1):
+            z = chosen[-1]
+            kzx = kfn(X[z : z + 1], X)[0]
+            resid = kzx - V[:i].T @ V[:i, z]
+            denom = np.sqrt(max(cond_var[z], 1e-12))
+            V[i] = resid / denom
+            cond_var = np.maximum(cond_var - V[i] ** 2, 0.0)
+            cond_var[chosen] = -np.inf
+            chosen.append(int(np.argmax(cond_var)))
+        return jnp.asarray(X[chosen])

@@ -193,3 +193,18 @@ def test_plotting_ribbon(tmp_path):
 
     plt.savefig(tmp_path / "ribbon.png")
     assert (tmp_path / "ribbon.png").stat().st_size > 0
+
+
+def test_greedy_variance_inducing():
+    from agp_tpu.inducing import GreedyVariance, inducingpoints
+
+    X = np.random.RandomState(0).randn(300, 2)
+    Z = inducingpoints(GreedyVariance(16), X, kernel=agp.SqExponentialKernel())
+    assert Z.shape == (16, 2)
+    # greedy selection spreads points: min pairwise distance much larger
+    # than the first-16 subset
+    def minpd(A):
+        d = ((A[:, None] - A[None]) ** 2).sum(-1) + np.eye(len(A)) * 1e9
+        return float(np.sqrt(d.min()))
+
+    assert minpd(np.asarray(Z)) > 2.0 * minpd(X[:16])

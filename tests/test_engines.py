@@ -353,3 +353,16 @@ def test_quadrature_vi_with_hyperopt(reg_data):
     assert ls != 3.0  # moved
     mu = agp.predict_f(model, state, X)
     assert float(jnp.mean(jnp.abs(mu - f))) < 1.0
+
+
+def test_svgd_logistic(cls_data):
+    """SVGD particles agree with the Gibbs posterior mean."""
+    X, f, y = cls_data
+    mg = agp.MCGP.create(X, y, agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+                         agp.GibbsSampling(n_burnin=200))
+    fs = agp.svgd_sample(mg, n_particles=64, n_steps=300, key=jax.random.PRNGKey(41))
+    assert fs.shape == (64, 1, 30)
+    mean_svgd = np.asarray(fs.mean(0))[0]
+    s = agp.sample(mg, 300, key=jax.random.PRNGKey(42))
+    mean_gibbs = np.asarray(s.mean(0))[0]
+    assert np.corrcoef(mean_svgd, mean_gibbs)[0, 1] > 0.95
