@@ -191,3 +191,72 @@ def test_compatibility_matrix_is_enforced():
             else:
                 with pytest.raises(ValueError):
                     make()
+
+
+def test_logisticsoftmax_local_updates_golden():
+    """Hand-computed triple-augmentation E-step (logisticsoftmax.jl:55-79)."""
+    K, B = 3, 2
+    mu = jnp.asarray([[0.5, -1.0], [0.0, 2.0], [1.0, 0.3]])
+    var = jnp.asarray([[0.2, 0.5], [1.0, 0.1], [0.3, 0.4]])
+    y = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])  # one-hot [B, K]
+    lik = agp.LogisticSoftMaxLikelihood.create(K)
+    local = lik.init_local_vars(B, mu.dtype)
+    _, lv = lik.local_updates(y, mu, var, local)
+
+    from scipy.special import digamma as sdigamma
+
+    c = np.sqrt(np.asarray(mu) ** 2 + np.asarray(var))
+    alpha = np.asarray(local["alpha"])  # init = K
+    beta = np.asarray(local["beta"])  # stays K
+    expcosh = np.exp(-np.asarray(mu) / 2) / np.cosh(c / 2)
+    for _ in range(2):
+        gamma = np.exp(sdigamma(alpha))[None, :] * expcosh / (2 * beta[None, :])
+        alpha = 1.0 + gamma.sum(0)
+    theta = (np.asarray(y).T + gamma) * np.tanh(c / 2) / (2 * c)
+    np.testing.assert_allclose(np.asarray(lv["c"]), c, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(lv["gamma"]), gamma, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(lv["alpha"]), alpha, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(lv["theta"]), theta, rtol=1e-8)
+
+
+def test_heteroscedastic_local_updates_golden():
+    """Hand-computed two-GP E-step (heteroscedastic.jl:50-96)."""
+    lam = 2.0
+    B = 3
+    mu = jnp.asarray([[0.1, -0.5, 1.0], [0.3, 0.0, -0.8]])  # [2, B] (f, g)
+    var = jnp.asarray([[0.2, 0.1, 0.5], [0.4, 1.0, 0.2]])
+    y = jnp.asarray([0.0, -1.0, 1.5])
+    lik = agp.HeteroscedasticLikelihood.create(lam)
+    _, lv = lik.local_updates(y, mu, var, lik.init_local_vars(B, mu.dtype))
+
+    muf, mug = np.asarray(mu)
+    varf, varg = np.asarray(var)
+    yv = np.asarray(y)
+    phi = ((muf - yv) ** 2 + varf) / 2
+    c = np.sqrt(mug**2 + varg)
+    sigg = np.exp(-mug / 2) / np.cosh(c / 2) / 2
+    gamma = lam * phi * sigg
+    theta = (0.5 + gamma) * np.tanh(c / 2) / (2 * c)
+    np.testing.assert_allclose(np.asarray(lv["phi"]), phi, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(lv["c"]), c, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(lv["sigg"]), sigg, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(lv["gamma"]), gamma, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(lv["theta"]), theta, rtol=1e-8)
+    # lambda update: max(n / (2 phi.(1-sigg)), lam)
+    expected_lam = max(3 / (2 * np.sum(phi * (1 - sigg))), lam)
+    lik2, _ = lik.local_updates(y, mu, var, lv)
+    np.testing.assert_allclose(float(lik2.lam), expected_lam, rtol=1e-8)
+
+
+def test_poisson_local_updates_golden():
+    lam = 4.0
+    mu = jnp.asarray([0.2, -1.0, 1.5])
+    var = jnp.asarray([0.3, 0.5, 0.1])
+    y = jnp.asarray([2.0, 0.0, 5.0])
+    lik = agp.PoissonLikelihood.create(lam)
+    _, lv = lik.local_updates(y, mu[None], var[None], lik.init_local_vars(3, mu.dtype))
+    c = np.sqrt(np.asarray(mu) ** 2 + np.asarray(var))
+    gamma = lam * np.exp(-np.asarray(mu) / 2) / np.cosh(c / 2) / 2
+    theta = (np.asarray(y) + gamma) * np.tanh(c / 2) / (2 * c)  # E[omega], PARITY #3
+    np.testing.assert_allclose(np.asarray(lv["gamma"]), gamma, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(lv["theta"]), theta, rtol=1e-8)
