@@ -233,3 +233,38 @@ def test_sample_f_joint_predictive():
     mu, var = agp.predict_f(m, s, X[:12], cov=True)
     # empirical moments match the predictive
     np.testing.assert_allclose(np.asarray(fs.mean(0)), np.asarray(mu), atol=0.2)
+
+
+def test_nonzero_prior_mean_paths():
+    """ConstantMean flows through the natural-gradient K^-1 mu0 terms and
+    hyperopt (exercises code paths that ZeroMean short-circuits)."""
+    import optax
+
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(40, 2, kern)
+    y = np.asarray(f) + 3.0  # shifted data: a constant mean should help
+    m0 = agp.SVGP.create(kern, agp.GaussianLikelihood.create(0.05, opt_noise=False),
+                         agp.AnalyticVI(), X[:10],
+                         mean=agp.ConstantMean(c=jnp.asarray(3.0)), optimiser=None)
+    m0, s0 = agp.train(m0, X, y, iterations=20)
+    mae = float(jnp.mean(jnp.abs(agp.predict_f(m0, s0, X) - jnp.asarray(y))))
+    assert mae < 0.5
+    # trainable mean from wrong init moves toward 3
+    m1 = agp.SVGP.create(kern, agp.GaussianLikelihood.create(0.05, opt_noise=False),
+                         agp.AnalyticVI(), X[:10],
+                         mean=agp.ConstantMean(c=jnp.asarray(0.0)),
+                         optimiser=optax.adam(0.2))
+    m1, s1 = agp.train(m1, X, y, iterations=60)
+    assert float(m1.mean.c[0]) > 1.0
+
+
+def test_affine_mean_vgp():
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(30, 2, kern)
+    y = np.asarray(f) + np.asarray(X @ jnp.asarray([2.0, -1.0]))
+    mean = agp.AffineMean(w=jnp.asarray([2.0, -1.0]), b=jnp.asarray(0.0))
+    m = agp.VGP.create(X, y, kern, agp.GaussianLikelihood.create(0.05, opt_noise=False),
+                       agp.AnalyticVI(), mean=mean, optimiser=None)
+    m, s = agp.train(m, iterations=15)
+    mae = float(jnp.mean(jnp.abs(agp.predict_f(m, s, X) - jnp.asarray(y))))
+    assert mae < 0.5
