@@ -366,3 +366,34 @@ def test_svgd_logistic(cls_data):
     s = agp.sample(mg, 300, key=jax.random.PRNGKey(42))
     mean_gibbs = np.asarray(s.mean(0))[0]
     assert np.corrcoef(mean_svgd, mean_gibbs)[0, 1] > 0.95
+
+
+def test_logisticsoftmax_mc_vi(cls_data):
+    """MC-integration VI for logistic-softmax (the reference's alternative
+    to the augmented path, logisticsoftmax.jl:152-214)."""
+    X, f, _ = cls_data
+    y = np.asarray(np.asarray(f) > 0, dtype=int)
+    model = agp.VGP.create(
+        X, y, agp.SqExponentialKernel(), agp.LogisticSoftMaxLikelihood.create(2),
+        agp.MCIntegrationVI(n_mc=32), optimiser=None,
+    )
+    model, state = agp.train(model, iterations=60)
+    pred = agp.predict_y(model, state, X)
+    assert float(jnp.mean(pred != jnp.asarray(y))) < 0.45
+
+
+def test_online_svgp_classification(cls_data):
+    """Streaming classification: OnlineSVGP + Logistic."""
+    X, f, y = cls_data
+    model = agp.OnlineSVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+        agp.AnalyticVI(), n_dim=2, capacity=24, optimiser=None,
+    )
+    state = None
+    for i in range(3):
+        model, state = agp.online_train(
+            model, X[i * 10 : (i + 1) * 10], y[i * 10 : (i + 1) * 10],
+            state=state, iterations=8,
+        )
+    pred = agp.predict_y(model, state, X)
+    assert float(jnp.mean(pred != jnp.asarray(y))) < 0.4
