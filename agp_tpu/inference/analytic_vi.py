@@ -274,14 +274,19 @@ def elbo(model, state: TrainState, x, y, kmat=None) -> jnp.ndarray:
     tot -= jax.lax.stop_gradient(
         rho * model.likelihood.aug_kl(state.local_vars, y)
     )
-    tot -= extra_kl(model, state)
+    tot -= extra_kl(model, state, kmat)
     return tot
 
 
-def extra_kl(model, state):
-    """Online-model extra KL (zero otherwise); see models/online_svgp.py."""
+def extra_kl(model, state, kmat=None):
+    """Online-model extra KL (zero otherwise); see models/online_svgp.py.
+
+    `kmat` must be the same kernel matrices the rest of the ELBO uses so
+    that hyperparameter gradients through the streaming extraKL term are
+    consistent (the hyper step recomputes kmat with the candidate kernel;
+    reading state.kmat here would mix the new gram with stale factors)."""
     if getattr(model, "is_online", False) and state.previous is not None:
         from ..models.online_svgp import online_extra_kl
 
-        return online_extra_kl(model, state)
+        return online_extra_kl(model, state, kmat)
     return jnp.asarray(0.0, state.mu.dtype)

@@ -27,7 +27,7 @@ from ..ops.kl import gaussian_kl
 from ..ops.quadrature import gauss_hermite
 from ..training.state import TrainState
 from ..utils.opt import ascent_update
-from .analytic_vi import compute_kappa, latent_moments, prior_mean_stack
+from .analytic_vi import latent_moments, prior_mean_stack
 
 
 # ------------------------------------------------------- expectation grads

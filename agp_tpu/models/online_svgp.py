@@ -228,11 +228,11 @@ def online_variational_update(model: OnlineSVGP, state, x, y):
     )
 
 
-def online_extra_kl(model: OnlineSVGP, state):
+def online_extra_kl(model: OnlineSVGP, state, kmat=None):
     """KL between the time-t and time-t+1 posteriors
     (reference: functions/KLdivergences.jl:37-54)."""
     prev = state.previous
-    kmat = state.kmat
+    kmat = state.kmat if kmat is None else kmat
     kappa_a, Ktilde_a = masked_kappa_a(model, kmat)
     ka_mu = jnp.einsum("lam,lm->la", kappa_a, state.mu)
     kSk = jnp.einsum("lam,lmn,lbn->lab", kappa_a, state.Sigma, kappa_a)

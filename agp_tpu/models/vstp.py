@@ -2,16 +2,25 @@
 
 Prior is a Student-t process, augmented by an inverse-Gamma scale mixture:
 f | s ~ N(mu0, s K), s ~ IG(nu/2, nu/2), giving closed-form per-iteration
-prior-scale updates (reference: /root/reference/src/models/VStP.jl:91-108):
+prior-scale updates.  The CAVI-optimal q(s) is
 
-  l2  = (nu + N + (mu-mu0)^T K^-1 (mu-mu0) + tr(K^-1 Sigma)) / 2
-  chi = (nu + N) / (nu + l2)        (= E[1/s])
+  q(s) = IG(alpha, beta),  alpha = (nu + N)/2,
+                           beta  = (nu + (mu-mu0)^T K^-1 (mu-mu0)
+                                       + tr(K^-1 Sigma)) / 2
+  chi  = E_q[1/s] = alpha / beta
 
-Parity note: the reference computes chi but never applies it in its
-Zygote-era CAVI path (chi only survives in the legacy ForwardDiff
-hyper-gradient, autotuning.jl:295) -- i.e. its VStP trains like a VGP.  We
-apply the scale where the derivation requires it: the effective prior
-precision is chi K^-1 in the natural-gradient update and the Gaussian KL.
+(q(s) prop. IG(s; nu/2, nu/2) * s^{-N/2} exp(-(quad+tr)/(2s))).  We store
+l2 = beta.
+
+Parity note vs /root/reference/src/models/VStP.jl:91-108: the reference
+computes l2 = (nu + N + quad + tr)/2 and chi = (nu+N)/(nu+l2) -- which is
+NOT E[1/s] (it double-counts nu+N inside l2) -- and then never applies chi
+in its Zygote-era CAVI path anyway (chi only survives in the legacy
+ForwardDiff hyper-gradient, autotuning.jl:295), i.e. its VStP trains like
+a VGP.  We use the correct IG posterior moments and apply the scale where
+the derivation requires it: the effective prior precision is chi K^-1 in
+the natural-gradient update and the Gaussian KL.  At the prior optimum
+(mu = mu0, Sigma = K) this gives chi = 1 exactly (tested).
 """
 from __future__ import annotations
 
@@ -107,8 +116,8 @@ def local_prior_updates(model: VStP, state, x):
     def one(mu_l, mu0_l, L_l, Kinv_l, Sigma_l):
         quad = linalg.invquad(L_l, mu_l - mu0_l)
         tr = jnp.sum(Kinv_l * Sigma_l)
-        l2 = (model.nu + N + quad + tr) / 2.0
-        chi = (model.nu + N) / (model.nu + l2)
+        l2 = (model.nu + quad + tr) / 2.0  # IG scale beta
+        chi = (model.nu + N) / (2.0 * l2)  # E[1/s] = alpha/beta
         return l2, chi
 
     l2, chi = jax.vmap(one)(state.mu, mu0, L_K, K_inv, state.Sigma)

@@ -11,6 +11,13 @@ Limitation: models whose likelihood class was generated at runtime by
 `make_augmented_likelihood` are not picklable by name; rebuild the class and
 use `state`-only checkpoints for those (the TrainState pytree alone resumes
 training, mirroring the reference's state-threading resume).
+
+.. warning::
+    `load` unpickles the treedef files, and unpickling executes arbitrary
+    code -- only load checkpoints you (or a trusted process) wrote.  For
+    untrusted sources, rebuild the model in code and use
+    :func:`load_arrays` (weights-only: reads the .npz leaves and grafts
+    them onto a template pytree; never unpickles).
 """
 from __future__ import annotations
 
@@ -41,6 +48,10 @@ def save(path: str, model: Any, state: Any) -> None:
 
 
 def load(path: str) -> Tuple[Any, Any]:
+    """Load (model, state) written by :func:`save`.
+
+    Unpickles treedefs: TRUSTED checkpoints only (see module warning).
+    """
     out = []
     for name in ("model", "state"):
         with open(os.path.join(path, f"{name}.treedef.pkl"), "rb") as f:
@@ -50,5 +61,27 @@ def load(path: str) -> Tuple[Any, Any]:
         import jax.numpy as jnp
 
         leaves = [jnp.asarray(x) if x.ndim or x.dtype != object else x.item() for x in leaves]
+        out.append(jax.tree_util.tree_unflatten(treedef, leaves))
+    return out[0], out[1]
+
+
+def load_arrays(path: str, model_template: Any, state_template: Any) -> Tuple[Any, Any]:
+    """Weights-only load: read the .npz array leaves and unflatten them onto
+    the structure of caller-built templates.  Never unpickles, so it is safe
+    for checkpoints from untrusted sources; the templates must have the same
+    pytree structure as the saved objects (build the model/init_state the
+    same way)."""
+    import jax.numpy as jnp
+
+    out = []
+    for name, template in (("model", model_template), ("state", state_template)):
+        treedef = jax.tree_util.tree_structure(template)
+        data = np.load(os.path.join(path, f"{name}.npz"))
+        leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(data.files))]
+        if len(leaves) != treedef.num_leaves:
+            raise ValueError(
+                f"{name}: checkpoint has {len(leaves)} leaves, template has "
+                f"{treedef.num_leaves} -- template structure must match"
+            )
         out.append(jax.tree_util.tree_unflatten(treedef, leaves))
     return out[0], out[1]

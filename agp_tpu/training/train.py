@@ -163,6 +163,15 @@ def train(
     """
     if isinstance(model, GP):
         return _train_gp(model, iterations, state, key, callback, verbose)
+    if getattr(model, "is_multioutput", False):
+        raise TypeError(
+            "multi-output models train with agp_tpu.mo_train(model, X, ys, ...)"
+        )
+    if getattr(model, "is_online", False):
+        raise TypeError(
+            "OnlineSVGP trains with agp_tpu.online_train(model, X_batch, "
+            "y_batch, state=state) -- thread the state across batches"
+        )
 
     # resolve data: VGP carries it; SVGP receives it here
     if X is None:
@@ -207,8 +216,12 @@ def train(
                 model, state = _vi_steps(model, state, X, y, n)
                 done += n
                 if conv_eps > 0:
-                    xb = X[: inf.batchsize] if inf.stochastic else X
-                    yb = y[: inf.batchsize] if inf.stochastic else y
+                    if inf.stochastic:
+                        # fresh random batch each check: a fixed subset can
+                        # stall or trigger convergence early
+                        xb, yb = _draw_batch(model, state, X, y, state.step)
+                    else:
+                        xb, yb = X, y
                     e = float(_elbo_full(model, state, xb, yb))
                     if prev_elbo is not None and abs(e - prev_elbo) / n < conv_eps:
                         break

@@ -114,6 +114,24 @@ def test_vstp_studentt(reg_data):
     assert float(jnp.mean(jnp.abs(mu - f))) < 1.0
 
 
+def test_vstp_chi_is_one_at_prior(reg_data):
+    """chi = E_q[1/s] must equal 1 exactly when q(f) sits at the prior
+    (mu = mu0, Sigma = K): quad = 0, tr(K^-1 Sigma) = N, so
+    chi = (nu+N)/(nu+0+N) = 1 (IG posterior alpha/beta)."""
+    from agp_tpu.models.vstp import local_prior_updates
+
+    X, f, y = reg_data
+    model = agp.VStP.create(
+        X, y, agp.SqExponentialKernel(), agp.StudentTLikelihood.create(4.0),
+        agp.AnalyticVI(), nu=5.0, optimiser=None,
+    )
+    state = agp.init_state(model)
+    K = jnp.einsum("lmn,lkn->lmk", state.kmat["L_K"], state.kmat["L_K"])
+    state = state.replace(mu=jnp.zeros_like(state.mu), Sigma=K)
+    state = local_prior_updates(model, state, jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(state.prior_state["chi"]), 1.0, atol=5e-3)
+
+
 def test_mosvgp_mixed_likelihoods(reg_data):
     """Reference pattern: multi-output with mixed Logistic+Laplace tasks
     (test/models/MOSVGP.jl)."""
