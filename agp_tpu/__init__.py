@@ -63,6 +63,7 @@ from .models.multioutput import (
     MOSVGP,
     MOVGP,
     mo_elbo,
+    mo_init_state,
     mo_predict_f,
     mo_predict_y,
     mo_proba_y,

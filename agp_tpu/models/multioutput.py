@@ -222,13 +222,60 @@ def mo_predict_f(model, state, X_test, diag=True):
     return mo_mean_var_f(model, mu_q, var_q)
 
 
-def mo_train(model, Xs, ys, iterations=100, state=None, key=None):
-    """Training driver for multi-output models; all tasks share inputs X
-    (reference MOVGP uses one X with multiple ys)."""
+def mo_init_state(model, X, ys, key=None):
+    """Initial TrainState for a multi-output model (labels must already be
+    treated; reference: training/states.jl for the MO branch)."""
     from ..training.autotuning import init_hyper_state
     from ..training.state import TrainState, init_var_posterior
     from ..inference.analytic_vi import compute_kmat
 
+    key = jax.random.PRNGKey(0) if key is None else key
+    dtype = X.dtype
+    N = X.shape[0]
+    inf = model.inference
+    batch = inf.batchsize if inf.stochastic else N
+    post = init_var_posterior(model.n_latent, model.n_inducing, dtype)
+    local_vars = [lik.init_local_vars(batch, dtype) for lik in model.likelihoods]
+    opt_state = None
+    if inf.stochastic and inf.optimiser is not None:
+        opt_state = inf.optimiser.init((post["eta1"], post["eta2"]))
+    A_state = model.Aoptimiser.init(model.A) if model.Aoptimiser is not None else None
+    return TrainState(
+        **post,
+        local_vars=local_vars,
+        opt_state=opt_state,
+        hyper_state=init_hyper_state(model),
+        kmat=compute_kmat(model, X),
+        rho=jnp.asarray(N / batch if inf.stochastic else 1.0, dtype),
+        step=jnp.zeros([], jnp.int32),
+        key=key,
+        A_state=A_state,
+    )
+
+
+def mo_train(
+    model,
+    Xs,
+    ys,
+    iterations=100,
+    state=None,
+    key=None,
+    callback=None,
+    verbose: int = 0,
+    conv_eps: float = 0.0,
+    conv_check_every: int = 10,
+):
+    """Training driver for multi-output models; all tasks share inputs X
+    (reference MOVGP uses one X with multiple ys).
+
+    Full `train()` feature set: hyperparameter autotuning every
+    `atfrequency` iterations when `model.optimiser` is set (kernel + prior
+    mean + Z via `hyper_step`; the mixing matrix A updates inside the
+    variational step as in the reference, autotuning.jl:48-84 +
+    single_and_multi_output_utils.jl:87-118), `callback(model, state, i)`,
+    verbose ELBO printing, opt-in `conv_eps` convergence check, and a
+    chunked `lax.scan` fast path when no per-iteration Python work is
+    needed."""
     X = as_2d(Xs)
     from .base import match_dtype
 
@@ -240,51 +287,113 @@ def mo_train(model, Xs, ys, iterations=100, state=None, key=None):
         liks.append(lik2)
     ys = tuple(new_ys)
     model = model.replace(likelihoods=tuple(liks))
+    inf = model.inference
+    if inf.stochastic and not (0 < inf.batchsize <= X.shape[0]):
+        raise ValueError(f"batchsize {inf.batchsize} is not in (0, {X.shape[0]}]")
 
     if state is None:
-        key = jax.random.PRNGKey(0) if key is None else key
-        dtype = X.dtype
-        N = X.shape[0]
-        inf = model.inference
-        batch = inf.batchsize if inf.stochastic else N
-        post = init_var_posterior(model.n_latent, model.n_inducing, dtype)
-        local_vars = [
-            lik.init_local_vars(batch, dtype) for lik in model.likelihoods
-        ]
-        opt_state = None
-        if inf.stochastic and inf.optimiser is not None:
-            opt_state = inf.optimiser.init((post["eta1"], post["eta2"]))
-        A_state = (
-            model.Aoptimiser.init(model.A) if model.Aoptimiser is not None else None
-        )
-        state = TrainState(
-            **post,
-            local_vars=local_vars,
-            opt_state=opt_state,
-            hyper_state=init_hyper_state(model),
-            kmat=compute_kmat(model, X),
-            rho=jnp.asarray(N / batch if inf.stochastic else 1.0, dtype),
-            step=jnp.zeros([], jnp.int32),
-            key=key,
-            A_state=A_state,
-        )
-    step = jax.jit(_mo_step)
-    for _ in range(iterations):
-        model, state = step(model, state, X, ys)
+        state = mo_init_state(model, X, ys, key)
+
+    do_hyper = model.optimiser is not None
+    fast_path = callback is None and verbose < 2 and not do_hyper and iterations > 1
+    try:
+        if fast_path:
+            done = 0
+            prev_elbo = None
+            chunk = conv_check_every if conv_eps > 0 else 200
+            while done < iterations:
+                n = min(chunk, iterations - done)
+                model, state = _mo_steps(model, state, X, ys, n)
+                done += n
+                if conv_eps > 0:
+                    if inf.stochastic:
+                        xb, ysb = _mo_draw_batch(model, state, X, ys, state.step)
+                    else:
+                        xb, ysb = X, ys
+                    e = float(_mo_elbo_jit(model, state, xb, ysb))
+                    if prev_elbo is not None and abs(e - prev_elbo) / n < conv_eps:
+                        break
+                    prev_elbo = e
+        else:
+            for i in range(1, iterations + 1):
+                model, state = _mo_step(model, state, X, ys)
+                if callback is not None:
+                    callback(model, state, int(i))
+                # reference: hyper-update every atfrequency iters, from
+                # iter 3, never on the last (training/training.jl:66-70)
+                if (
+                    do_hyper
+                    and i % model.atfrequency == 0
+                    and i >= 3
+                    and i != iterations
+                ):
+                    model, state = _mo_hyper_step(model, state, X, ys)
+                if verbose >= 2:
+                    if inf.stochastic:
+                        xb, ysb = _mo_draw_batch(model, state, X, ys, state.step - 1)
+                    else:
+                        xb, ysb = X, ys
+                    e = _mo_elbo_jit(model, state, xb, ysb)
+                    print(f"iter {i}: ELBO = {float(e):.6f}")
+    except KeyboardInterrupt:
+        import warnings
+
+        warnings.warn("training interrupted by user; returning current state")
+    from ..inference.analytic_vi import compute_kmat
+
+    state = state.replace(kmat=compute_kmat(model, X))
     return model, state
 
 
-def _mo_step(model, state, X, ys):
+def _mo_draw_batch(model, state, X, ys, step):
+    """Minibatch keyed on (state.key, step) so the hyper step can reproduce
+    the exact batch of the preceding CAVI step (cf. training/train.py)."""
+    sub = jax.random.fold_in(state.key, step)
+    b = model.inference.batchsize
+    idx = jax.random.randint(sub, (b,), 0, X.shape[0])
+    return jnp.take(X, idx, axis=0), tuple(jnp.take(y, idx, axis=0) for y in ys)
+
+
+def _mo_step_body(model, state, X, ys):
     if model.inference.stochastic:
-        key, sub = jax.random.split(state.key)
-        idx = jax.random.randint(sub, (model.inference.batchsize,), 0, X.shape[0])
-        x_b = jnp.take(X, idx, axis=0)
-        ys_b = tuple(jnp.take(y, idx, axis=0) for y in ys)
-        state = state.replace(key=key)
+        x_b, ys_b = _mo_draw_batch(model, state, X, ys, state.step)
     else:
         x_b, ys_b = X, ys
     model, state = mo_variational_update(model, state, x_b, ys_b)
     return model, state.replace(step=state.step + 1)
+
+
+_mo_step = jax.jit(_mo_step_body)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(4,))
+def _mo_steps(model, state, X, ys, n: int):
+    def body(carry, _):
+        m, s = carry
+        m, s = _mo_step_body(m, s, X, ys)
+        return (m, s), None
+
+    (model, state), _ = jax.lax.scan(body, (model, state), None, length=n)
+    return model, state
+
+
+@jax.jit
+def _mo_hyper_step(model, state, X, ys):
+    from ..training import autotuning
+
+    if model.inference.stochastic:
+        x_b, ys_b = _mo_draw_batch(model, state, X, ys, state.step - 1)
+    else:
+        x_b, ys_b = X, ys
+    return autotuning.hyper_step(model, state, x_b, ys_b)
+
+
+@jax.jit
+def _mo_elbo_jit(model, state, X, ys):
+    return mo_elbo(model, state, X, ys)
 
 
 class MOVGP(MOSVGP):
