@@ -109,10 +109,15 @@ def sample_pg1(key, c, n_terms: int = 12, max_trips: int = 64):
     mu = 1.0 / jnp.maximum(z, 1e-30)  # IG mean (z=0 -> improper; body path)
 
     def trip(state):
-        key, x, done, trips = state
+        key, x, done, pending, trips = state
         key, k_choice, k_exp, k_e1, k_e2, k_u, k_n, k_flip, k_ser = jax.random.split(key, 9)
+        # branch choice: only re-drawn when NOT mid-way through the body
+        # sampler's inner rejection (a committed body lane keeps retrying the
+        # truncated-IG; re-choosing the branch there would over-represent the
+        # tail and bias the law)
         u_choice = jax.random.uniform(k_choice, z.shape, dtype)
-        use_tail = u_choice < r
+        use_tail = (~pending) & (u_choice < r)
+        body = pending | ((~pending) & ~(u_choice < r))
 
         # tail: x = t + Exp/K on (t, inf) -- always a valid proposal
         x_tail = _T + jax.random.exponential(k_exp, z.shape, dtype) / K
@@ -137,23 +142,27 @@ def sample_pg1(key, c, n_terms: int = 12, max_trips: int = 64):
         ok_body = jnp.where(big_mu, ok_chi, x_ig <= _T)
 
         proposal = jnp.where(use_tail, x_tail, x_body)
-        valid = use_tail | ok_body
+        valid = use_tail | (body & ok_body)
         accepted, _ = _series_accept(k_ser, proposal, n_terms)
         newly = (~done) & valid & accepted
         x = jnp.where(newly, proposal, x)
-        return key, x, done | newly, trips + 1
+        # stay committed to the body branch until it yields a valid draw;
+        # a series-rejected valid draw restarts the outer cycle (re-choose)
+        pending = (~done) & body & (~ok_body)
+        return key, x, done | newly, pending, trips + 1
 
     def cond(state):
-        _, _, done, trips = state
+        _, _, done, _, trips = state
         return jnp.logical_and(~jnp.all(done), trips < max_trips)
 
     init = (
         key,
         jnp.full(z.shape, 2.0 / jnp.pi**2, dtype),  # ~E[J*(1,0)] fallback
         jnp.zeros(z.shape, bool),
+        jnp.zeros(z.shape, bool),
         jnp.zeros([], jnp.int32),
     )
-    _, x, _, _ = jax.lax.while_loop(cond, trip, init)
+    _, x, _, _, _ = jax.lax.while_loop(cond, trip, init)
     return (x / 4.0).astype(c.dtype)
 
 
