@@ -256,19 +256,30 @@ class LaplaceLikelihood(SingleLatentLikelihood):
 
 
 class Matern32Likelihood(SingleLatentLikelihood):
-    """Matern-3/2 noise likelihood p(y|f) prop. (1 + sqrt(3)|y-f|/rho)
-    exp(-sqrt(3)|y-f|/rho), GIG-augmented.
+    """Matern-3/2 noise likelihood p(y|f) = sqrt(3)/(4 rho) (1 + u) e^-u,
+    u = sqrt(3)|y-f|/rho, as a Gaussian variance mixture:
 
-    The reference's version is unfinished -- its ELBO throws and it
-    references fields that don't exist (likelihood/matern.jl:86-100;
-    SURVEY.md flags it "partially broken").  We keep its (working) local
-    updates (matern.jl:58-69):
+      p(y|f) = Int N(y | f, v) Gamma(v; shape 2, rate beta) dv,
+      beta = 3 / (2 rho^2)
+
+    (closed via Int v^(nu-1) e^(-A/v - B v) dv = 2 (A/B)^(nu/2) K_nu(2
+    sqrt(AB)) with nu = 3/2; K_{3/2} gives exactly the (1+u)e^-u kernel).
+    The CAVI-optimal q(v_i) is GIG(a = 2 beta = 3/rho^2, b = c_i^2, p=3/2),
+    and theta := E[1/v]/2 = 3 / (2 sqrt(3) c rho + 2 rho^2) via the
+    K_{1/2}/K_{3/2} ratio -- the same working local update as the reference
+    (matern.jl:58-69):
       c     = sqrt(E[(y-f)^2])
-      theta = 3 / (2 sqrt(3) c rho + 2 rho^2)      (= E[omega]/2)
       grad_e_mu = 2 theta y, grad_e_sigma = theta
-    and complete the expected log-likelihood it never implemented.  Gibbs
-    needs |p| = 3/2 GIG draws, which the vectorized sampler doesn't cover
-    yet, so only the VI paths are enabled.
+
+    The reference's version is unfinished: its ELBO throws and its Gibbs
+    draw is inconsistent with its own E-step (likelihood/matern.jl:86-100;
+    SURVEY.md flags it "partially broken").  Completed here:
+    * `aug_kl` in closed form, so the reported ELBO is a true bound.  The
+      -1/2 E[log v] of E[log N(y|f,v)] cancels the +1/2 E[log v] inside
+      KL(q(v)||p(v)) exactly, so neither appears (both omitted
+      consistently; no Bessel nu-derivatives needed).
+    * exact Gibbs sampling: v | f ~ GIG(3/rho^2, (y-f)^2, 3/2) via the
+      general-p sampler, theta = 1/(2v).
     """
 
     rho: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.0))
@@ -279,7 +290,7 @@ class Matern32Likelihood(SingleLatentLikelihood):
 
     @classmethod
     def implemented(cls):
-        return frozenset({"AnalyticVI", "QuadratureVI"})
+        return frozenset({"AnalyticVI", "QuadratureVI", "GibbsSampling"})
 
     def init_local_vars(self, batchsize, dtype=jnp.float32):
         return {
@@ -299,17 +310,49 @@ class Matern32Likelihood(SingleLatentLikelihood):
         return local["theta"]
 
     def _expec_loglik(self, y, mu, var, local):
-        # E[log N(y | f, 1/omega)] with E[omega] = 2 theta; the E[log omega]
-        # and augmentation-prior terms are constants wrt (mu, var) and are
-        # excluded like the reference excludes AugmentedKL terms.
+        # E[log N(y | f, v)] with E[1/v] = 2 theta, OMITTING -1/2 E[log v]
+        # which cancels exactly against the +1/2 E[log v] omitted from
+        # aug_kl below (see class docstring).
         n = y.shape[0]
         theta = local["theta"]
         return -n * LOG2PI / 2.0 - jnp.sum(theta * ((mu - y) ** 2 + var))
 
     def aug_kl(self, local, y):
-        # experimental: GIG entropy bound only (the reference has no working
-        # ELBO for this likelihood at all)
-        return jnp.asarray(0.0, dtype=local["c"].dtype)
+        # KL(q(v) || p(v)) - 1/2 E[log v], closed form, with
+        #   q(v) = GIG(a, c^2, 3/2), a = 3/rho^2;  p(v) = Gamma(2, beta),
+        #   beta = a/2.  The Gamma-rate and GIG x-coefficient terms cancel
+        #   (a = 2 beta), leaving
+        #   (3/4) log(a/c^2) - log(2 K_{3/2}(z)) - c^2 E[1/v]/2 - 2 log beta
+        # with z = sqrt(a) c and E[1/v]/2 = theta.  The c -> 0 limit is
+        # finite (the log c terms cancel analytically).
+        c = jnp.maximum(local["c"], 1e-10)
+        theta = local["theta"]
+        a = 3.0 / self.rho**2
+        beta = a / 2.0
+        z = jnp.sqrt(a) * c
+        # log(2 K_{3/2}(z)) = log 2 + 0.5 log(pi/(2z)) - z + log1p(1/z)
+        log_2k32 = (
+            LOG2
+            + 0.5 * (jnp.log(jnp.pi) - LOG2 - jnp.log(z))
+            - z
+            + jnp.log1p(1.0 / z)
+        )
+        per_point = (
+            0.75 * (jnp.log(a) - 2.0 * jnp.log(c))
+            - log_2k32
+            - c**2 * theta
+            - 2.0 * jnp.log(beta)
+        )
+        return jnp.sum(per_point)
+
+    def _sample_local(self, key, y, f, local):
+        # exact blocked Gibbs: v | f ~ GIG(3/rho^2, (y-f)^2, 3/2)
+        # (general-p masked-rejection sampler); omega = 1/v, theta = omega/2
+        from ..distributions.gig import sample_gig
+
+        a = jnp.full_like(f, 3.0) / self.rho**2
+        v = sample_gig(key, a, (f - y) ** 2, 1.5)
+        return {**local, "c": jnp.abs(f - y), "theta": 1.0 / (2.0 * v)}
 
     def compute_proba(self, mu, var):
         return mu, jnp.maximum(var, 0.0) + 4.0 * self.rho**2 / 3.0
@@ -319,8 +362,9 @@ class Matern32Likelihood(SingleLatentLikelihood):
 
     def log_prob(self, y, f):
         u = jnp.sqrt(3.0) * jnp.abs(y - f) / self.rho
-        # normalized matern-3/2 density: (3/(4 rho)) (1+u) e^{-u}
-        return jnp.log(3.0 / (4.0 * self.rho)) + jnp.log1p(u) - u
+        # normalized matern-3/2 density: (sqrt(3)/(4 rho)) (1+u) e^{-u}
+        # (normalization: 2 (rho/sqrt(3)) int_0^inf (1+u) e^-u du = 4 rho/sqrt(3))
+        return jnp.log(jnp.sqrt(3.0) / (4.0 * self.rho)) + jnp.log1p(u) - u
 
     def grad_log_prob(self, y, f):
         return 3.0 * (y - f) / (self.rho * (jnp.abs(f - y) * jnp.sqrt(3.0) + self.rho))
