@@ -52,7 +52,7 @@ from .likelihoods.regression import (
     Matern32Likelihood,
     StudentTLikelihood,
 )
-from .inference.hmc import sample_hmc
+from .inference.hmc import sample_hmc, sample_nuts
 from .inference.smc import smc_sample
 from .inference.svgd import svgd_sample
 from .likelihoods.generic import make_augmented_likelihood
@@ -108,6 +108,7 @@ __all__ = [
     "sample_f",
     "sample",
     "sample_hmc",
+    "sample_nuts",
     "smc_sample",
     "make_augmented_likelihood",
     "kernels",

@@ -139,15 +139,22 @@ class GibbsSampling(InferenceConfig):
 
 @dataclasses.dataclass(frozen=True)
 class HMCSampling(InferenceConfig):
-    """NUTS/HMC sampling of f (capability spec from the reference's
-    bitrotted hmcsampling.jl; implemented natively here)."""
+    """Hamiltonian sampling of f on the whitened latents.
+
+    algorithm="nuts" (default): bounded-depth iterative multinomial NUTS
+    with the generalized no-U-turn criterion (matches the reference's spec,
+    hmcsampling.jl:68-106, whose own implementation is bitrotted);
+    algorithm="hmc": fixed-length leapfrog.  Both with dual-averaging
+    step-size adaptation during burn-in."""
 
     stochastic: bool = False
     batchsize: int = 0
     n_burnin: int = 100
     thinning: int = 1
     step_size: float = 0.1
-    n_leapfrog: int = 16
+    n_leapfrog: int = 16  # hmc only
+    max_depth: int = 8  # nuts only
+    algorithm: str = "nuts"
 
     @property
     def name(self):

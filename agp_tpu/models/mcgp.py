@@ -74,6 +74,16 @@ def sample(model: MCGP, n_samples: int, key=None, n_chains: int = 1):
     key = jax.random.PRNGKey(0) if key is None else key
     inf = model.inference
     if inf.name == "HMCSampling":
+        if getattr(inf, "algorithm", "nuts") == "nuts":
+            from ..inference.hmc import sample_nuts
+
+            return sample_nuts(
+                model,
+                n_samples,
+                key=key,
+                n_chains=n_chains,
+                max_depth=getattr(inf, "max_depth", 8),
+            )
         from ..inference.hmc import sample_hmc
 
         return sample_hmc(model, n_samples, key=key, n_chains=n_chains)
