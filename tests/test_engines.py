@@ -346,6 +346,57 @@ def test_cavi_gibbs_agreement_studentt(reg_data):
     assert float(np.max(np.abs(mu_g - mu_v))) < 0.3
 
 
+def test_zoptimiser_moves_inducing_points():
+    """Inducing-point optimization (reference: autotuning.jl:102-121): with
+    a Zoptimiser the inducing locations move and the final ELBO beats the
+    frozen-Z control trained identically."""
+    import optax
+
+    kern = agp.SqExponentialKernel(lengthscale=jnp.asarray(0.5))
+    X, f = generate_f(80, 1, kern, key=jax.random.PRNGKey(5))
+    y = np.asarray(f + 0.05 * jax.random.normal(jax.random.PRNGKey(6), f.shape, dtype=f.dtype))
+    Z0 = np.linspace(float(X.min()), float(X.max()), 6)[:, None]  # deliberately coarse
+
+    def build(Zopt):
+        return agp.SVGP.create(
+            agp.SqExponentialKernel(lengthscale=jnp.asarray(0.5)),
+            agp.GaussianLikelihood.create(0.05**2),
+            agp.AnalyticVI(),
+            Z=Z0,
+            optimiser=optax.adam(0.01),
+            Zoptimiser=Zopt,
+            atfrequency=1,
+        )
+
+    m_z, s_z = agp.train(build(optax.adam(0.05)), X, y, iterations=80)
+    m_f, s_f = agp.train(build(None), X, y, iterations=80)
+    moved = float(jnp.max(jnp.abs(m_z.Z - jnp.asarray(Z0)[None])))
+    assert moved > 1e-3, "Z must move under a Zoptimiser"
+    e_z = float(agp.elbo(m_z, s_z, X, jnp.asarray(y)))
+    e_f = float(agp.elbo(m_f, s_f, X, jnp.asarray(y)))
+    assert e_z > e_f, (e_z, e_f)
+
+
+def test_alrsvi_svi_convergence(cls_data):
+    """ALRSVI adaptive-rate SVI (reference: optimisers.jl:26-58) must train
+    an SVGP classifier to the same quality as RobbinsMonro."""
+    from agp_tpu.utils.opt import alrsvi
+
+    X, f, y = cls_data
+    model = agp.SVGP.create(
+        agp.SqExponentialKernel(),
+        agp.LogisticLikelihood.create(),
+        agp.AnalyticSVI(16, optimiser=alrsvi()),
+        Z=X[:10],
+        optimiser=None,
+    )
+    model, state = agp.train(model, X, y, iterations=300, key=jax.random.PRNGKey(0))
+    pred = agp.predict_y(model, state, X)
+    err = float(jnp.mean(pred != jnp.asarray(y)))
+    assert err < 0.3, err
+    assert np.all(np.isfinite(np.asarray(state.mu)))
+
+
 def test_nuts_conjugate_posterior(reg_data):
     """NUTS (iterative multinomial, generalized no-U-turn) on a Gaussian
     likelihood must reproduce the exact conjugate GP posterior:
