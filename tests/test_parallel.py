@@ -73,6 +73,69 @@ def test_gibbs_chains_shard_over_devices():
     assert bool(jnp.all(jnp.isfinite(samples)))
 
 
+def test_two_process_distributed(tmp_path):
+    """Real multi-process rendezvous: two OS processes, 2 virtual CPU
+    devices each, one GLOBAL 4-device data mesh through
+    `initialize_distributed` + `data_parallel_step`.  Catches
+    rendezvous/global-mesh/global-array bugs before hardware.  Both
+    processes must agree with each other AND with a single-process run."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # free port for the coordinator
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"127.0.0.1:{port}"
+
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)  # worker pins cpu via jax.config
+    env["JAX_COMPILATION_CACHE_DIR"] = ""  # avoid cache cross-talk
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", coord, str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    import json
+
+    meta = json.load(open(tmp_path / "proc0.json"))
+    assert meta["process_count"] == 2
+    assert meta["global_devices"] == 4
+
+    r0 = np.load(tmp_path / "proc0.npz")
+    r1 = np.load(tmp_path / "proc1.npz")
+    np.testing.assert_allclose(r0["mu"], r1["mu"], rtol=1e-12)
+    np.testing.assert_allclose(r0["Sigma"], r1["Sigma"], rtol=1e-12)
+
+    # single-process reference on the identical data/model
+    rng = np.random.RandomState
+    import numpy as _np
+
+    gen = _np.random.default_rng(0)
+    X = gen.uniform(-2.0, 2.0, (64, 2))
+    f = _np.sin(2.0 * X[:, 0]) + 0.5 * X[:, 1]
+    y = _np.where(f > 0, 1.0, -1.0)
+    model = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+        agp.AnalyticVI(), Z=X[:8], optimiser=None,
+    )
+    model, state = agp.train(model, X, y, iterations=10)
+    np.testing.assert_allclose(r0["mu"], np.asarray(state.mu), rtol=1e-8, atol=1e-9)
+
+
 def test_sharded_svi_minibatch_step():
     """shard_map per-device minibatch draw + GSPMD statistic psum."""
     from agp_tpu.parallel.mesh import make_mesh, sharded_svi_train
