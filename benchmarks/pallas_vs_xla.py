@@ -1,0 +1,128 @@
+"""Pallas-vs-XLA measurement for the sparse-CAVI hot path on real TPU.
+
+Measures, per (B, M) shape:
+  * xla_stats:    the production XLA path (gram -> kappa -> Ktilde ->
+                  moments -> logistic E-step -> s1/S2 contractions)
+  * pallas_stats: ops/pallas_kernels.fused_cavi_stats (one HBM pass)
+  * xla_kappa / pallas_kappa: the (kappa, Ktilde) sub-chain alone
+
+Writes PALLAS_BENCH.json.  Run on the real chip:  python benchmarks/pallas_vs_xla.py
+(first compile over the axon tunnel is slow; results cached in .jax_cache).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, iters=30, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from agp_tpu.ops import pallas_kernels as pk
+
+    print("backend:", jax.default_backend(), jax.devices()[0])
+    rows = []
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def xla_stats(X, y, Z, Kinv, mu, Sigma, ls, var, rho):
+        x = X / ls
+        z = Z / ls
+        r2 = jnp.maximum(
+            jnp.sum(x * x, 1)[:, None] + jnp.sum(z * z, 1)[None, :] - 2.0 * x @ z.T,
+            0.0,
+        )
+        knm = var * jnp.exp(-0.5 * r2)
+        kappa = knm @ Kinv
+        ktilde = jnp.maximum(var + 1e-4 - jnp.sum(kappa * knm, 1), 1e-12)
+        mf = kappa @ mu
+        vf = ktilde + jnp.sum((kappa @ Sigma) * kappa, 1)
+        c = jnp.sqrt(mf * mf + vf)
+        theta = jnp.tanh(c / 2.0) / (2.0 * c)
+        gmu = y / 2.0
+        gs = theta / 2.0
+        s1 = kappa.T @ (rho * gmu)
+        S2 = (kappa * (rho * gs)[:, None]).T @ kappa
+        return s1, S2
+
+    @jax.jit
+    def xla_kappa(X, Z, Kinv, ls, var):
+        x = X / ls
+        z = Z / ls
+        r2 = jnp.maximum(
+            jnp.sum(x * x, 1)[:, None] + jnp.sum(z * z, 1)[None, :] - 2.0 * x @ z.T,
+            0.0,
+        )
+        knm = var * jnp.exp(-0.5 * r2)
+        kappa = knm @ Kinv
+        ktilde = jnp.maximum(var + 1e-4 - jnp.sum(kappa * knm, 1), 1e-12)
+        return kappa, ktilde
+
+    for B, M in [(4096, 64), (65536, 64), (65536, 256), (65536, 512), (262144, 128)]:
+        D = 8
+        X = jax.random.normal(key, (B, D), jnp.float32)
+        y = jnp.where(jax.random.normal(jax.random.fold_in(key, 1), (B,)) > 0, 1.0, -1.0)
+        Z = jax.random.normal(jax.random.fold_in(key, 2), (M, D), jnp.float32)
+        Kinv = jnp.eye(M) + 0.01 * jax.random.normal(jax.random.fold_in(key, 3), (M, M))
+        Kinv = (Kinv + Kinv.T) / 2
+        mu = jax.random.normal(jax.random.fold_in(key, 4), (M,))
+        Sigma = jnp.eye(M, dtype=jnp.float32)
+        ls = jnp.asarray(1.3)
+        var = jnp.asarray(1.1)
+        rho = jnp.asarray(4.0)
+
+        t_x = timeit(xla_stats, X, y, Z, Kinv, mu, Sigma, ls, var, rho)
+        t_p = timeit(
+            lambda: pk.fused_cavi_stats(
+                X, y, Z, Kinv, mu, Sigma, ls, var, 1e-4, rho, kind="rbf", lik="logistic"
+            )
+        )
+        t_xk = timeit(xla_kappa, X, Z, Kinv, ls, var)
+        t_pk = timeit(lambda: pk.fused_kappa(X, Z, Kinv, ls, var, 1e-4, kind="rbf"))
+
+        # numerical agreement
+        s1x, S2x = xla_stats(X, y, Z, Kinv, mu, Sigma, ls, var, rho)
+        s1p, S2p = pk.fused_cavi_stats(
+            X, y, Z, Kinv, mu, Sigma, ls, var, 1e-4, rho, kind="rbf", lik="logistic"
+        )
+        import numpy as np
+
+        err = float(
+            jnp.max(jnp.abs(s1x - s1p)) / (jnp.max(jnp.abs(s1x)) + 1e-12)
+        )
+        err2 = float(
+            jnp.max(jnp.abs(S2x - S2p)) / (jnp.max(jnp.abs(S2x)) + 1e-12)
+        )
+        row = dict(
+            B=B, M=M,
+            xla_stats_ms=t_x * 1e3, pallas_stats_ms=t_p * 1e3,
+            stats_speedup=t_x / t_p,
+            xla_kappa_ms=t_xk * 1e3, pallas_kappa_ms=t_pk * 1e3,
+            kappa_speedup=t_xk / t_pk,
+            rel_err_s1=err, rel_err_S2=err2,
+        )
+        rows.append(row)
+        print(
+            f"B={B:6d} M={M:3d}  stats xla {t_x*1e3:7.3f}ms pallas {t_p*1e3:7.3f}ms "
+            f"({t_x/t_p:4.2f}x)   kappa xla {t_xk*1e3:7.3f}ms pallas {t_pk*1e3:7.3f}ms "
+            f"({t_xk/t_pk:4.2f}x)  err {err:.1e}/{err2:.1e}"
+        )
+
+    with open("PALLAS_BENCH.json", "w") as fh:
+        json.dump({"backend": jax.default_backend(), "rows": rows}, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

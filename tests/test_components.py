@@ -195,6 +195,42 @@ def test_plotting_ribbon(tmp_path):
     assert (tmp_path / "ribbon.png").stat().st_size > 0
 
 
+def test_plotting_multioutput_and_multilatent(tmp_path):
+    """MO recipe: one subplot per task with per-row ribbons
+    (reference: functions/plotting.jl:44-73); plus the multi-latent branch."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from agp_tpu.utils.plotting import plot_mo_gp, plot_multilatent
+
+    X = np.linspace(0, 5, 40)[:, None]
+    f = np.sin(X[:, 0])
+    y_cls = np.where(f > 0, 1.0, -1.0)
+    mo = agp.MOSVGP.create(
+        agp.SqExponentialKernel(),
+        [agp.LogisticLikelihood.create(), agp.GaussianLikelihood.create(1e-2)],
+        agp.AnalyticVI(), Z=X[:8], n_latent=2, optimiser=None,
+    )
+    mo, s = agp.mo_train(mo, X, (y_cls, f), iterations=10)
+    axes = plot_mo_gp(mo, s, X, X_train=X, ys_train=(y_cls, f))
+    assert len(axes) == 2
+    import matplotlib.pyplot as plt
+
+    plt.savefig(tmp_path / "mo.png")
+    assert (tmp_path / "mo.png").stat().st_size > 0
+
+    # multi-latent branch on a multiclass model
+    y3 = np.digitize(f, [-0.5, 0.5])
+    mc = agp.VGP.create(
+        X, y3, agp.SqExponentialKernel(),
+        agp.LogisticSoftMaxLikelihood.create(3), agp.AnalyticVI(), optimiser=None,
+    )
+    mc, sc = agp.train(mc, iterations=5)
+    ax = plot_multilatent(mc, sc, X)
+    plt.savefig(tmp_path / "ml.png")
+    assert (tmp_path / "ml.png").stat().st_size > 0
+
+
 def test_greedy_variance_inducing():
     from agp_tpu.inducing import GreedyVariance, inducingpoints
 
