@@ -61,22 +61,34 @@ _PALLAS_KINDS = {
 }
 
 
-def _pallas_kind(model):
-    """Return the fused-kernel kind when the Pallas path applies: TPU
-    backend, single latent GP, scalar-lengthscale stationary kernel.
+def _pallas_enabled(model) -> bool:
+    """Shape-aware gate for the fused Pallas tier.
 
-    Opt-in (AGP_TPU_PALLAS=1): measured on v5e at M=64/B=4096 the XLA
-    einsum pipeline is ~12% faster than the hand-fused kernels -- XLA's own
-    fusion already keeps Knm in registers at these shapes.  The Pallas tier
-    exists for the large-B/large-M regime and as the base for the
-    distributed shard_map path."""
+    Measured on TPU v5e (benchmarks/pallas_vs_xla.py, PALLAS_BENCH.json):
+    the fused one-HBM-pass kernels win in the large-M regime -- stats 1.45x
+    and kappa 1.8x at M=512/B=65536, 1.5x at M=256 -- while at M=64 the XLA
+    einsum pipeline is equal or better (its fusion already keeps Knm in
+    registers at small M).  Auto policy: on for M >= 256.  Env override:
+    AGP_TPU_PALLAS=1 forces on, =0 forces off."""
     import os
 
-    if not os.environ.get("AGP_TPU_PALLAS"):
-        return None
+    flag = os.environ.get("AGP_TPU_PALLAS")
+    if flag == "0":
+        return False
+    if flag == "1":
+        # forced on: TPU, or CPU under pltpu.force_tpu_interpret_mode()
+        # (how the CPU test suite exercises the fused production path)
+        return True
     from ..ops import pallas_kernels as pk
 
-    if not pk.available() or model.n_latent != 1:
+    return pk.available() and getattr(model, "n_inducing", 0) >= 256
+
+
+def _pallas_kind(model):
+    """Fused-kernel kind when the Pallas path applies: TPU backend, single
+    latent GP, scalar-lengthscale stationary kernel, winning shape (see
+    `_pallas_enabled`)."""
+    if not _pallas_enabled(model) or model.n_latent != 1:
         return None
     kind = _PALLAS_KINDS.get(type(model.kernel).__name__)
     if kind is None:
@@ -84,6 +96,27 @@ def _pallas_kind(model):
     if jnp.ndim(model.kernel.lengthscale) > 1:  # [L, D] ARD: not fused
         return None
     return kind
+
+
+def _pallas_fused_spec(model):
+    """(kind, lik_name, p0, p1) when the WHOLE single-latent CAVI statistics
+    pass can run as one fused Pallas kernel (ops/pallas_kernels.py::
+    fused_cavi_stats): supported stationary kernel + supported likelihood.
+    The kernel reads the minibatch tile from HBM exactly once -- gram,
+    kappa, Ktilde, latent moments, E-step and both statistic contractions
+    never round-trip."""
+    kind = _pallas_kind(model)
+    if kind is None or not model.is_sparse or getattr(model, "is_online", False):
+        return None
+    lik = model.likelihood
+    name = type(lik).__name__
+    if name == "LogisticLikelihood":
+        return kind, "logistic", 0.0, 0.0
+    if name == "GaussianLikelihood" and lik.opt_noise is None:
+        return kind, "gaussian", lik.sigma2, 0.0
+    if name == "StudentTLikelihood":
+        return kind, "studentt", lik.nu, lik.sigma**2
+    return None
 
 
 def compute_kappa(model, x, kmat):
@@ -133,13 +166,29 @@ def latent_moments(model, state: TrainState, x, kmat):
 
             _, kappa, Ktilde = masked_kappa(model, x, kmat)
         elif model.n_latent == 1:
-            kernel1 = jax.tree_util.tree_map(lambda l: l[0], model.kernel)
-            Knm = kernel1.gram(x, model.Z[0])  # [B, M]
-            kappa1 = Knm @ kmat["K_inv"][0]
-            Ktilde1 = (
-                kernel1.diag(x) + jitter(Knm.dtype) - jnp.sum(kappa1 * Knm, axis=1)
-            )
-            Ktilde1 = jnp.maximum(Ktilde1, 1e-12)
+            kind = _pallas_kind(model)
+            if kind is not None:
+                from ..ops import pallas_kernels as pk
+
+                kappa1, Ktilde1 = pk.fused_kappa(
+                    x,
+                    model.Z[0],
+                    kmat["K_inv"][0],
+                    jnp.ravel(model.kernel.lengthscale)[0],
+                    jnp.ravel(model.kernel.variance)[0],
+                    jitter(x.dtype),
+                    kind=kind,
+                )
+                kappa1 = kappa1.astype(x.dtype)
+                Ktilde1 = Ktilde1.astype(x.dtype)
+            else:
+                kernel1 = jax.tree_util.tree_map(lambda l: l[0], model.kernel)
+                Knm = kernel1.gram(x, model.Z[0])  # [B, M]
+                kappa1 = Knm @ kmat["K_inv"][0]
+                Ktilde1 = (
+                    kernel1.diag(x) + jitter(Knm.dtype) - jnp.sum(kappa1 * Knm, axis=1)
+                )
+                Ktilde1 = jnp.maximum(Ktilde1, 1e-12)
             mu_f = (kappa1 @ state.mu[0])[None]
             vf = Ktilde1 + jnp.sum((kappa1 @ state.Sigma[0]) * kappa1, axis=1)
             return mu_f, vf[None], kappa1[None]
@@ -159,12 +208,54 @@ def latent_moments(model, state: TrainState, x, kmat):
 # ----------------------------------------------------------------- CAVI step
 def variational_update(model, state: TrainState, x, y) -> Tuple[Any, TrainState]:
     """One blockwise coordinate-ascent update (E-step + natural gradient +
-    global update), reference analyticVI.jl:62-85."""
+    global update), reference analyticVI.jl:62-85.
+
+    On TPU in the large-M regime the entire statistics pass (gram -> kappa
+    -> moments -> E-step -> contractions) runs as ONE Pallas kernel; the
+    minibatch is read from HBM exactly once (see `_pallas_fused_spec`)."""
     kmat = state.kmat
     if getattr(model, "is_tprior", False):
         from ..models.vstp import local_prior_updates
 
         state = local_prior_updates(model, state, x)
+
+    fused = _pallas_fused_spec(model)
+    if fused is not None:
+        from ..ops import pallas_kernels as pk
+
+        kind, lik_name, p0, p1 = fused
+        rho = state.rho
+        s1, S2, c, theta = pk.fused_cavi_stats(
+            x,
+            y,
+            model.Z[0],
+            kmat["K_inv"][0],
+            state.mu[0],
+            state.Sigma[0],
+            jnp.ravel(model.kernel.lengthscale)[0],
+            jnp.ravel(model.kernel.variance)[0],
+            jitter(x.dtype),
+            rho,
+            lik_p0=p0,
+            lik_p1=p1,
+            kind=kind,
+            lik=lik_name,
+        )
+        c = c.astype(x.dtype)
+        theta = theta.astype(x.dtype)
+        local = dict(state.local_vars)
+        local["theta"] = theta
+        if "c" in local:
+            local["c"] = c
+        state = _nat_update_from_stats(
+            model,
+            state.replace(local_vars=local),
+            s1[None].astype(x.dtype),
+            S2[None].astype(x.dtype),
+            x,
+        )
+        return model, state
+
     mu_f, var_f, kappa = latent_moments(model, state, x, kmat)
 
     # E-step: closed-form update of q(omega)
@@ -197,16 +288,14 @@ def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> Train
             from ..ops import pallas_kernels as pk
 
             s1, S2 = pk.cavi_stats(kappa[0], rho * gmu[0], rho * gs[0])
-            nat1_target = s1[None].astype(kappa.dtype) + Kinv_mu0
+            s1 = s1[None].astype(kappa.dtype)
             stat2 = S2[None].astype(kappa.dtype)
         elif model.n_latent == 1 and not getattr(model, "is_online", False):
             k1 = kappa[0]
-            s1 = k1.T @ (rho * gmu[0])
-            S2 = (k1 * (rho * gs[0])[:, None]).T @ k1
-            nat1_target = s1[None] + Kinv_mu0
-            stat2 = S2[None]
+            s1 = (k1.T @ (rho * gmu[0]))[None]
+            stat2 = ((k1 * (rho * gs[0])[:, None]).T @ k1)[None]
         else:
-            nat1_target = jnp.einsum("lbm,lb->lm", kappa, rho * gmu) + Kinv_mu0
+            s1 = jnp.einsum("lbm,lb->lm", kappa, rho * gmu)
             stat2 = jnp.einsum(
                 "lbm,lb,lbn->lmn",
                 kappa,
@@ -214,34 +303,54 @@ def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> Train
                 kappa,
                 preferred_element_type=kappa.dtype,
             )
-        nat2_target = -(stat2 + 0.5 * K_inv)
+        return _nat_update_from_stats(model, state, s1, stat2, x)
+
+    eta1 = gmu + Kinv_mu0
+    eta2 = linalg.symmetrize(-(jax.vmap(jnp.diag)(gs) + 0.5 * K_inv))
+    return state.replace(
+        eta1=eta1, eta2=eta2, **_moments_kw(model, eta1, eta2)
+    )
+
+
+def _nat_update_from_stats(model, state: TrainState, s1, stat2, x) -> TrainState:
+    """Sparse natural-gradient global update given the two cross-data
+    statistics s1 = kappa^T (rho gmu) [L, M] and
+    stat2 = kappa^T diag(rho gs) kappa [L, M, M]."""
+    kmat = state.kmat
+    mu0 = prior_mean_stack(model, x)
+    K_inv = kmat["K_inv"]
+    if getattr(model, "is_tprior", False):
+        K_inv = state.prior_state["chi"][:, None, None] * K_inv
+    Kinv_mu0 = jnp.einsum("lmn,ln->lm", K_inv, mu0)
+
+    nat1_target = s1 + Kinv_mu0
+    nat2_target = -(stat2 + 0.5 * K_inv)
+    if model.inference.stochastic:
         d_eta1 = nat1_target - state.eta1
         d_eta2 = nat2_target - state.eta2
-        if model.inference.stochastic:
-            opt_state, (u1, u2) = ascent_update(
-                model.inference.optimiser,
-                state.opt_state,
-                (state.eta1, state.eta2),
-                (d_eta1, d_eta2),
-            )
-            eta1 = state.eta1 + u1
-            eta2 = linalg.symmetrize(state.eta2 + u2)
-            state = state.replace(opt_state=opt_state)
-        else:
-            eta1 = nat1_target
-            eta2 = linalg.symmetrize(nat2_target)
+        opt_state, (u1, u2) = ascent_update(
+            model.inference.optimiser,
+            state.opt_state,
+            (state.eta1, state.eta2),
+            (d_eta1, d_eta2),
+        )
+        eta1 = state.eta1 + u1
+        eta2 = linalg.symmetrize(state.eta2 + u2)
+        state = state.replace(opt_state=opt_state)
     else:
-        eta1 = gmu + Kinv_mu0
-        eta2 = linalg.symmetrize(-(jax.vmap(jnp.diag)(gs) + 0.5 * K_inv))
+        eta1 = nat1_target
+        eta2 = linalg.symmetrize(nat2_target)
+    return state.replace(eta1=eta1, eta2=eta2, **_moments_kw(model, eta1, eta2))
 
+
+def _moments_kw(model, eta1, eta2):
     if model.n_latent == 1:
         # unbatched 64x64 Cholesky/solves: batch-1 vmapped linalg lowers
         # poorly on TPU
         mu1, Sigma1 = linalg.nat_to_moments(eta1[0], eta2[0])
-        mu, Sigma = mu1[None], Sigma1[None]
-    else:
-        mu, Sigma = jax.vmap(linalg.nat_to_moments)(eta1, eta2)
-    return state.replace(eta1=eta1, eta2=eta2, mu=mu, Sigma=Sigma)
+        return dict(mu=mu1[None], Sigma=Sigma1[None])
+    mu, Sigma = jax.vmap(linalg.nat_to_moments)(eta1, eta2)
+    return dict(mu=mu, Sigma=Sigma)
 
 
 def prior_mean_stack(model, x):

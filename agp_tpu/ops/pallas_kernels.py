@@ -171,7 +171,7 @@ def cavi_stats(kappa, g, theta, tile_b=512):
 # ------------------------------------------------- fused full CAVI statistics
 def _cavi_fused_kernel(
     x_ref, y_ref, mask_ref, z_ref, kinv_ref, mu_ref, sigma_ref, params_ref,
-    s1_ref, s2_ref, *, kind, lik,
+    s1_ref, s2_ref, c_ref, theta_ref, *, kind, lik,
 ):
     """One pass per B-tile: gram -> kappa -> Ktilde -> latent moments ->
     likelihood E-step -> statistic accumulation.  Everything VMEM-resident;
@@ -215,9 +215,10 @@ def _cavi_fused_kernel(
         gmu = yb / 2.0
         gs = theta / 2.0
     elif lik == "gaussian":
-        theta = 1.0 / p0  # sigma2
+        c = jnp.sqrt(jnp.maximum((mf - yb) ** 2 + vf, 1e-30))
+        theta = jnp.full_like(mf, 1.0 / p0)  # sigma2
         gmu = yb / p0
-        gs = jnp.full_like(mf, theta / 2.0)
+        gs = theta / 2.0
     elif lik == "studentt":
         # p0 = nu, p1 = sigma^2
         c = ((mf - yb) ** 2 + vf + p1 * p0) / 2.0
@@ -226,6 +227,9 @@ def _cavi_fused_kernel(
         gs = theta / 2.0
     else:
         raise ValueError(lik)
+
+    c_ref[:] = c
+    theta_ref[:] = theta
 
     @pl.when(i == 0)
     def _():
@@ -249,7 +253,10 @@ def fused_cavi_stats(
     lik_p0=0.0, lik_p1=0.0, kind="rbf", lik="logistic", tile_b=1024,
 ):
     """Fused statistics for one CAVI step (single latent GP):
-    returns (s1 [M], S2 [M, M]) = (kappa^T rho gmu, kappa^T diag(rho gs) kappa).
+    returns (s1 [M], S2 [M, M], c [B], theta [B]) with
+    (s1, S2) = (kappa^T rho gmu, kappa^T diag(rho gs) kappa) and (c, theta)
+    the E-step local variables (so the caller can keep state.local_vars in
+    sync without a second pass).
     """
     B, D = xb.shape
     M = Z.shape[0]
@@ -267,7 +274,7 @@ def fused_cavi_stats(
         jnp.asarray(lik_p0, jnp.float32).reshape(()),
         jnp.asarray(lik_p1, jnp.float32).reshape(()),
     ])
-    s1, s2 = pl.pallas_call(
+    s1, s2, c, theta = pl.pallas_call(
         functools.partial(_cavi_fused_kernel, kind=kind, lik=lik),
         grid=(Bp // tile_b,),
         in_specs=[
@@ -283,10 +290,14 @@ def fused_cavi_stats(
         out_specs=[
             pl.BlockSpec((1, M), lambda i: (0, 0)),
             pl.BlockSpec((M, M), lambda i: (0, 0)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, M), jnp.float32),
             jax.ShapeDtypeStruct((M, M), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         ],
     )(
         xb.astype(jnp.float32),
@@ -298,4 +309,4 @@ def fused_cavi_stats(
         Sigma.astype(jnp.float32),
         params,
     )
-    return s1[0], s2
+    return s1[0], s2, c[:B, 0], theta[:B, 0]

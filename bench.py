@@ -110,6 +110,88 @@ def bench_numpy_baseline(iters=20):
     return iters / (time.perf_counter() - t0)
 
 
+def _bench_config(model, X, y, iters, chunk):
+    import jax
+
+    from agp_tpu.training.train import _vi_steps, init_state
+
+    state = init_state(model, X, y)
+    model, state = _vi_steps(model, state, X, y, chunk)  # compile
+    jax.block_until_ready(state.mu)
+    t0 = time.perf_counter()
+    for _ in range(max(iters // chunk, 1)):
+        model, state = _vi_steps(model, state, X, y, chunk)
+    jax.block_until_ready(state.mu)
+    dt = time.perf_counter() - t0
+    assert bool(jax.numpy.all(jax.numpy.isfinite(state.mu)))
+    return max(iters // chunk, 1) * chunk / dt
+
+
+def bench_extra():
+    """Secondary tracked configs (multiclass K=10, heteroscedastic 2-GP,
+    large-M/large-B) -> BENCH_EXTRA.json, so round-over-round regressions
+    in these regimes are visible from BENCH files alone."""
+    import jax
+    import jax.numpy as jnp
+
+    import agp_tpu as agp
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    rows = {}
+
+    # multiclass logistic-softmax, K = 10 latents
+    N, D, M, B, K = 50_000, 10, 64, 2048, 10
+    X = jax.random.normal(key, (N, D), dtype)
+    logits = X @ jax.random.normal(jax.random.fold_in(key, 1), (D, K), dtype)
+    y = jnp.argmax(logits, axis=1)
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(2.0, dtype)),
+        agp.LogisticSoftMaxLikelihood.create(K),
+        agp.AnalyticSVI(B, minibatch_sampling="slice"),
+        X[:M],
+        optimiser=None,
+    )
+    y2, tl = m.likelihood.treat_labels(y)
+    m = m.replace(likelihood=tl)
+    rows["multiclass_k10_m64_b2048"] = _bench_config(m, X, y2.astype(dtype), 400, 100)
+
+    # heteroscedastic two-GP regression
+    N, D, M, B = 50_000, 10, 64, 2048
+    X = jax.random.normal(jax.random.fold_in(key, 2), (N, D), dtype)
+    yr = jnp.sin(X[:, 0]) + 0.1 * jax.random.normal(jax.random.fold_in(key, 3), (N,), dtype)
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(2.0, dtype)),
+        agp.HeteroscedasticLikelihood.create(),
+        agp.AnalyticSVI(B, minibatch_sampling="slice"),
+        X[:M],
+        optimiser=None,
+    )
+    y2, tl = m.likelihood.treat_labels(yr)
+    m = m.replace(likelihood=tl)
+    rows["heteroscedastic_m64_b2048"] = _bench_config(m, X, y2.astype(dtype), 400, 100)
+
+    # large-M / large-B logistic (the MXU-bound regime)
+    N, D, M, B = 500_000, 20, 512, 65_536
+    X = jax.random.normal(jax.random.fold_in(key, 4), (N, D), dtype)
+    w = jax.random.normal(jax.random.fold_in(key, 5), (D,), dtype)
+    y = jnp.where(X @ w > 0, 1.0, -1.0).astype(dtype)
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(2.0, dtype)),
+        agp.LogisticLikelihood.create(),
+        agp.AnalyticSVI(B, minibatch_sampling="slice"),
+        X[:M],
+        optimiser=None,
+    )
+    y2, tl = m.likelihood.treat_labels(y)
+    m = m.replace(likelihood=tl)
+    v = _bench_config(m, X, y2.astype(dtype), 60, 20)
+    rows["logistic_m512_b65536"] = v
+    # data throughput in the large regime
+    rows["logistic_m512_b65536_pts_per_s"] = v * B
+    return rows
+
+
 def main():
     import jax
 
@@ -118,6 +200,7 @@ def main():
         base = bench_numpy_baseline()
     except Exception:
         base = float("nan")
+    # primary line FIRST (the driver records stdout)
     print(
         json.dumps(
             {
@@ -126,8 +209,22 @@ def main():
                 "unit": "iters/s/chip",
                 "vs_baseline": round(value / base, 2) if base == base else None,
             }
-        )
+        ),
+        flush=True,
     )
+    if os.environ.get("AGP_BENCH_EXTRA", "1") != "0":
+        try:
+            rows = bench_extra()
+            rows = {k: round(v, 2) for k, v in rows.items()}
+            rows["backend"] = jax.default_backend()
+            rows["primary_iters_per_s"] = round(value, 2)
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_EXTRA.json"), "w") as fh:
+                json.dump(rows, fh, indent=1)
+        except Exception as e:  # extras must never break the primary metric
+            import traceback
+
+            traceback.print_exc()
 
 
 if __name__ == "__main__":

@@ -94,7 +94,7 @@ def main():
 
         # numerical agreement
         s1x, S2x = xla_stats(X, y, Z, Kinv, mu, Sigma, ls, var, rho)
-        s1p, S2p = pk.fused_cavi_stats(
+        s1p, S2p, _, _ = pk.fused_cavi_stats(
             X, y, Z, Kinv, mu, Sigma, ls, var, 1e-4, rho, kind="rbf", lik="logistic"
         )
         import numpy as np

@@ -68,9 +68,54 @@ def test_fused_cavi_stats_padding_masked(setup):
     s1_ref = kappa.T @ (rho * s["y"] / 2)
     S2_ref = (kappa * (rho * th / 2)[:, None]).T @ kappa
     with pltpu.force_tpu_interpret_mode():
-        s1, S2 = pk.fused_cavi_stats(
+        s1, S2, c_out, th_out = pk.fused_cavi_stats(
             s["X"], s["y"], s["Z"], s["Kinv"], mu, Sigma,
             s["ls"], s["var"], s["jitt"], rho, kind="rbf", lik="logistic", tile_b=128,
         )
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s1_ref), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(S2), np.asarray(S2_ref), rtol=5e-3, atol=1e-3)
+    # the E-step local vars come back so state.local_vars stays in sync
+    np.testing.assert_allclose(np.asarray(c_out), np.asarray(c), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(th_out), np.asarray(th), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_production_step_matches_xla(setup, monkeypatch):
+    """END-TO-END: variational_update through the fused Pallas path
+    (AGP_TPU_PALLAS=1 + interpret mode) must match the XLA path."""
+    import agp_tpu as agp
+    from agp_tpu.inference.analytic_vi import variational_update
+    from agp_tpu.training.train import init_state
+
+    B, D = 300, 8
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (B, D), dtype=jnp.float64)
+    y = jnp.sign(jax.random.normal(jax.random.PRNGKey(2), (B,), dtype=jnp.float64))
+    model = agp.SVGP.create(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(1.3)),
+        agp.LogisticLikelihood.create(),
+        agp.AnalyticVI(),
+        Z=X[:64],
+        optimiser=None,
+    )
+    y2, lik = model.likelihood.treat_labels(np.asarray(y))
+    model = model.replace(likelihood=lik)
+    y2 = jnp.asarray(y2, X.dtype)
+    state0 = init_state(model, X, y2)
+
+    monkeypatch.delenv("AGP_TPU_PALLAS", raising=False)
+    m_x, s_x = variational_update(model, state0, X, y2)
+    m_x, s_x = variational_update(m_x, s_x, X, y2)
+
+    monkeypatch.setenv("AGP_TPU_PALLAS", "1")
+    with pltpu.force_tpu_interpret_mode():
+        m_p, s_p = variational_update(model, state0, X, y2)
+        m_p, s_p = variational_update(m_p, s_p, X, y2)
+
+    np.testing.assert_allclose(np.asarray(s_p.mu), np.asarray(s_x.mu), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_p.Sigma), np.asarray(s_x.Sigma), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_p.local_vars["theta"]), np.asarray(s_x.local_vars["theta"]),
+        rtol=1e-4, atol=1e-6,
+    )
