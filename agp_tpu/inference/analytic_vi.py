@@ -223,8 +223,11 @@ def variational_update(model, state: TrainState, x, y) -> Tuple[Any, TrainState]
     if fused is not None:
         from ..ops import pallas_kernels as pk
 
+        import os
+
         kind, lik_name, p0, p1 = fused
         rho = state.rho
+        bf16 = os.environ.get("AGP_TPU_BF16") == "1"
         s1, S2, c, theta = pk.fused_cavi_stats(
             x,
             y,
@@ -240,6 +243,7 @@ def variational_update(model, state: TrainState, x, y) -> Tuple[Any, TrainState]
             lik_p1=p1,
             kind=kind,
             lik=lik_name,
+            bf16=bf16,
         )
         c = c.astype(x.dtype)
         theta = theta.astype(x.dtype)
@@ -273,14 +277,6 @@ def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> Train
     """Shared natural-gradient + global update given the latent-axis
     gradient expectations gmu/gs [L, B] (used by both single-likelihood and
     multi-output paths)."""
-    kmat = state.kmat
-    mu0 = prior_mean_stack(model, x)  # [L, M]
-    K_inv = kmat["K_inv"]
-    if getattr(model, "is_tprior", False):
-        # Student-t prior: effective precision chi K^-1 (see models/vstp.py)
-        K_inv = state.prior_state["chi"][:, None, None] * K_inv
-    Kinv_mu0 = jnp.einsum("lmn,ln->lm", K_inv, mu0)
-
     if model.is_sparse:
         rho = state.rho
         kind = _pallas_kind(model) if not getattr(model, "is_online", False) else None
@@ -305,6 +301,12 @@ def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> Train
             )
         return _nat_update_from_stats(model, state, s1, stat2, x)
 
+    mu0 = prior_mean_stack(model, x)  # [L, M]
+    K_inv = state.kmat["K_inv"]
+    if getattr(model, "is_tprior", False):
+        # Student-t prior: effective precision chi K^-1 (see models/vstp.py)
+        K_inv = state.prior_state["chi"][:, None, None] * K_inv
+    Kinv_mu0 = jnp.einsum("lmn,ln->lm", K_inv, mu0)
     eta1 = gmu + Kinv_mu0
     eta2 = linalg.symmetrize(-(jax.vmap(jnp.diag)(gs) + 0.5 * K_inv))
     return state.replace(

@@ -171,11 +171,15 @@ def cavi_stats(kappa, g, theta, tile_b=512):
 # ------------------------------------------------- fused full CAVI statistics
 def _cavi_fused_kernel(
     x_ref, y_ref, mask_ref, z_ref, kinv_ref, mu_ref, sigma_ref, params_ref,
-    s1_ref, s2_ref, c_ref, theta_ref, *, kind, lik,
+    s1_ref, s2_ref, c_ref, theta_ref, *, kind, lik, bf16,
 ):
     """One pass per B-tile: gram -> kappa -> Ktilde -> latent moments ->
     likelihood E-step -> statistic accumulation.  Everything VMEM-resident;
-    the minibatch tile is read exactly once from HBM."""
+    the minibatch tile is read exactly once from HBM.
+
+    bf16=True feeds the MXU matmuls bfloat16 operands (f32 accumulation):
+    ~0.4% relative input rounding on the [B,M]-sized contractions in
+    exchange for the bf16 MXU rate -- the step is FLOP-bound at M >= 256."""
     i = pl.program_id(0)
     ls = params_ref[0]
     var = params_ref[1]
@@ -184,10 +188,17 @@ def _cavi_fused_kernel(
     p0 = params_ref[4]  # likelihood parameter (sigma2 / nu etc.)
     p1 = params_ref[5]
 
+    mxu = (lambda a: a.astype(jnp.bfloat16)) if bf16 else (lambda a: a)
+
+    def dot32(a, b):
+        return jnp.dot(mxu(a), mxu(b), preferred_element_type=jnp.float32)
+
     x = x_ref[:] / ls
     z = z_ref[:] / ls
     xx = jnp.sum(x * x, axis=1, keepdims=True)
     zz = jnp.sum(z * z, axis=1, keepdims=True).T
+    # the gram dot stays f32 even in bf16 mode: r2 is a difference of
+    # near-equal numbers and D is small (cheap relative to the M-dots)
     r2 = jnp.maximum(xx + zz - 2.0 * jnp.dot(x, z.T, preferred_element_type=jnp.float32), 0.0)
     if kind == "rbf":
         knm = var * jnp.exp(-0.5 * r2)
@@ -200,12 +211,12 @@ def _cavi_fused_kernel(
     else:
         r = jnp.sqrt(jnp.maximum(r2, 1e-36))
         knm = var * jnp.exp(-r)
-    kappa = jnp.dot(knm, kinv_ref[:], preferred_element_type=jnp.float32)
+    kappa = dot32(knm, kinv_ref[:])
     ktilde = jnp.maximum(
         var + jitt - jnp.sum(kappa * knm, axis=1, keepdims=True), 1e-12
     )  # [TB, 1]
     mf = jnp.dot(kappa, mu_ref[:], preferred_element_type=jnp.float32)  # [TB, 1]
-    kS = jnp.dot(kappa, sigma_ref[:], preferred_element_type=jnp.float32)
+    kS = dot32(kappa, sigma_ref[:])
     vf = ktilde + jnp.sum(kS * kappa, axis=1, keepdims=True)  # [TB, 1]
     yb = y_ref[:]  # [TB, 1]
 
@@ -239,18 +250,16 @@ def _cavi_fused_kernel(
     # mask out padded rows (their gram values against Z are NOT zero)
     m = mask_ref[:]  # [TB, 1]
     s1_ref[:] += jnp.sum(kappa * (rho * gmu * m), axis=0, keepdims=True)
-    s2_ref[:] += jnp.dot(
-        (kappa * (rho * gs * m)).T, kappa, preferred_element_type=jnp.float32
-    )
+    s2_ref[:] += dot32((kappa * (rho * gs * m)).T, kappa)
 
 
 _FUSED_LIKS = ("logistic", "gaussian", "studentt")
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "lik", "tile_b"))
+@functools.partial(jax.jit, static_argnames=("kind", "lik", "tile_b", "bf16"))
 def fused_cavi_stats(
     xb, yb, Z, K_inv, mu, Sigma, lengthscale, variance, jitt, rho,
-    lik_p0=0.0, lik_p1=0.0, kind="rbf", lik="logistic", tile_b=1024,
+    lik_p0=0.0, lik_p1=0.0, kind="rbf", lik="logistic", tile_b=1024, bf16=False,
 ):
     """Fused statistics for one CAVI step (single latent GP):
     returns (s1 [M], S2 [M, M], c [B], theta [B]) with
@@ -275,7 +284,7 @@ def fused_cavi_stats(
         jnp.asarray(lik_p1, jnp.float32).reshape(()),
     ])
     s1, s2, c, theta = pl.pallas_call(
-        functools.partial(_cavi_fused_kernel, kind=kind, lik=lik),
+        functools.partial(_cavi_fused_kernel, kind=kind, lik=lik, bf16=bf16),
         grid=(Bp // tile_b,),
         in_specs=[
             pl.BlockSpec((tile_b, D), lambda i: (i, 0)),

@@ -35,17 +35,28 @@ ym = np.asarray(np.digitize(np.asarray(f), [-0.5, 0.5]))
 mc = agp.SVGP.create(agp.SqExponentialKernel(), agp.LogisticSoftMaxLikelihood.create(3), agp.AnalyticVI(), X[:16], optimiser=None)
 mc, mcs = agp.train(mc, X, ym, iterations=30)
 ok.append(("multiclass", float(jnp.mean(agp.predict_y(mc, mcs, X) == jnp.asarray(ym))) > 0.55))
-# 6 MCGP gibbs + hmc + smc
+# 6 MCGP gibbs + nuts + hmc + smc
 mg = agp.MCGP.create(X[:40], yb[:40], agp.SqExponentialKernel(), agp.LogisticLikelihood.create(), agp.GibbsSampling(n_burnin=50))
 sg = agp.sample(mg, 100)
 fs_, lz = agp.smc_sample(mg, n_particles=64, n_temps=8)
 sh = agp.sample_hmc(mg, 80)
-ok.append(("sampling", bool(jnp.all(jnp.isfinite(sg)) and jnp.isfinite(lz) and jnp.all(jnp.isfinite(sh)))))
-# 7 multi-output
-mo = agp.MOSVGP.create(agp.SqExponentialKernel(), [agp.LogisticLikelihood.create(), agp.LaplaceLikelihood.create()], agp.AnalyticVI(), X[:12], n_latent=2, optimiser=None)
+mn = agp.MCGP.create(X[:40], yb[:40], agp.SqExponentialKernel(), agp.LogisticLikelihood.create(), agp.HMCSampling(n_burnin=60))
+sn = agp.sample(mn, 80)  # NUTS by default
+ok.append(("sampling", bool(jnp.all(jnp.isfinite(sg)) and jnp.isfinite(lz)
+                            and jnp.all(jnp.isfinite(sh)) and jnp.all(jnp.isfinite(sn)))))
+# 6b Matern-3/2 likelihood: true augmented ELBO + exact GIG(3/2) Gibbs
+mt = agp.VGP.create(X, yr, agp.SqExponentialKernel(), agp.Matern32Likelihood.create(0.5), agp.AnalyticVI(), optimiser=None)
+mt, mts = agp.train(mt, iterations=30)
+mtg = agp.MCGP.create(X[:40], yr[:40], agp.SqExponentialKernel(), agp.Matern32Likelihood.create(0.5), agp.GibbsSampling(n_burnin=50))
+smt = agp.sample(mtg, 60)
+ok.append(("matern32", bool(jnp.isfinite(agp.elbo(mt, mts)) and jnp.all(jnp.isfinite(smt))
+                            and float(jnp.mean(jnp.abs(agp.predict_f(mt, mts, X) - f))) < 0.5)))
+# 7 multi-output, with hyperparameter autotuning
+mo = agp.MOSVGP.create(agp.SqExponentialKernel(), [agp.LogisticLikelihood.create(), agp.LaplaceLikelihood.create()], agp.AnalyticVI(), X[:12], n_latent=2, optimiser=optax.adam(0.01), atfrequency=3)
 mo, mos = agp.mo_train(mo, X, (np.sign(np.asarray(f)), yr), iterations=20)
 py = agp.mo_predict_y(mo, mos, X)
-ok.append(("multioutput", len(py) == 2))
+ls_moved = not np.allclose(np.asarray(mo.kernel.lengthscale), 1.0)
+ok.append(("multioutput", len(py) == 2 and ls_moved))
 # 8 online
 om = agp.OnlineSVGP.create(agp.SqExponentialKernel(), agp.GaussianLikelihood.create(0.05, opt_noise=False), agp.AnalyticVI(), n_dim=2, capacity=32)
 ost = None
