@@ -99,23 +99,30 @@ def _pallas_kind(model):
 
 
 def _pallas_fused_spec(model):
-    """(kind, lik_name, p0, p1) when the WHOLE single-latent CAVI statistics
-    pass can run as one fused Pallas kernel (ops/pallas_kernels.py::
-    fused_cavi_stats): supported stationary kernel + supported likelihood.
-    The kernel reads the minibatch tile from HBM exactly once -- gram,
-    kappa, Ktilde, latent moments, E-step and both statistic contractions
-    never round-trip."""
+    """(kind, lik_name, p0, p1, c_key) when the WHOLE single-latent CAVI
+    statistics pass can run as one fused Pallas kernel
+    (ops/pallas_kernels.py::fused_cavi_stats): supported stationary kernel
+    + supported likelihood.  The kernel reads the minibatch tile from HBM
+    exactly once -- gram, kappa, Ktilde, latent moments, E-step and both
+    statistic contractions never round-trip.  c_key names the local-vars
+    slot the kernel's c output maps to (None: theta-only likelihood)."""
     kind = _pallas_kind(model)
     if kind is None or not model.is_sparse or getattr(model, "is_online", False):
         return None
     lik = model.likelihood
     name = type(lik).__name__
     if name == "LogisticLikelihood":
-        return kind, "logistic", 0.0, 0.0
+        return kind, "logistic", 0.0, 0.0, "c"
     if name == "GaussianLikelihood" and lik.opt_noise is None:
-        return kind, "gaussian", lik.sigma2, 0.0
+        return kind, "gaussian", lik.sigma2, 0.0, None
     if name == "StudentTLikelihood":
-        return kind, "studentt", lik.nu, lik.sigma**2
+        return kind, "studentt", lik.nu, lik.sigma**2, "c"
+    if name == "LaplaceLikelihood":
+        return kind, "laplace", lik.a, 0.0, "b"
+    if name == "BayesianSVM":
+        return kind, "bayesiansvm", 0.0, 0.0, "c"
+    if name == "Matern32Likelihood":
+        return kind, "matern32", lik.rho, 0.0, "c"
     return None
 
 
@@ -225,7 +232,7 @@ def variational_update(model, state: TrainState, x, y) -> Tuple[Any, TrainState]
 
         import os
 
-        kind, lik_name, p0, p1 = fused
+        kind, lik_name, p0, p1, c_key = fused
         rho = state.rho
         bf16 = os.environ.get("AGP_TPU_BF16") == "1"
         s1, S2, c, theta = pk.fused_cavi_stats(
@@ -249,8 +256,8 @@ def variational_update(model, state: TrainState, x, y) -> Tuple[Any, TrainState]
         theta = theta.astype(x.dtype)
         local = dict(state.local_vars)
         local["theta"] = theta
-        if "c" in local:
-            local["c"] = c
+        if c_key is not None and c_key in local:
+            local[c_key] = c
         state = _nat_update_from_stats(
             model,
             state.replace(local_vars=local),

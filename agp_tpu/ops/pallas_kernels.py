@@ -236,6 +236,24 @@ def _cavi_fused_kernel(
         theta = ((p0 + 1.0) / 2.0) / c
         gmu = theta * yb
         gs = theta / 2.0
+    elif lik == "laplace":
+        # p0 = a = 1/beta^2; local "b" returned in the c slot
+        c = jnp.sqrt(jnp.maximum((mf - yb) ** 2 + vf, 1e-30))
+        theta = jnp.sqrt(p0) / c
+        gmu = theta * yb
+        gs = theta / 2.0
+    elif lik == "bayesiansvm":
+        c = (1.0 - yb * mf) ** 2 + vf
+        theta = 1.0 / jnp.sqrt(jnp.maximum(c, 1e-30))
+        gmu = yb * (theta + 1.0)
+        gs = theta / 2.0
+    elif lik == "matern32":
+        # p0 = rho (likelihood lengthscale)
+        c = jnp.sqrt(jnp.maximum((mf - yb) ** 2 + vf, 1e-30))
+        sqrt3 = 1.7320508075688772
+        theta = 3.0 / (2.0 * sqrt3 * c * p0 + 2.0 * p0 * p0)
+        gmu = 2.0 * theta * yb
+        gs = theta
     else:
         raise ValueError(lik)
 
@@ -253,7 +271,9 @@ def _cavi_fused_kernel(
     s2_ref[:] += dot32((kappa * (rho * gs * m)).T, kappa)
 
 
-_FUSED_LIKS = ("logistic", "gaussian", "studentt")
+_FUSED_LIKS = (
+    "logistic", "gaussian", "studentt", "laplace", "bayesiansvm", "matern32"
+)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "lik", "tile_b", "bf16"))

@@ -79,30 +79,48 @@ def test_fused_cavi_stats_padding_masked(setup):
     np.testing.assert_allclose(np.asarray(th_out), np.asarray(th), rtol=1e-4, atol=1e-4)
 
 
-def test_fused_production_step_matches_xla(setup, monkeypatch):
+@pytest.mark.parametrize(
+    "lik_name",
+    ["logistic", "gaussian", "studentt", "laplace", "bayesiansvm", "matern32"],
+)
+def test_fused_production_step_matches_xla(lik_name, monkeypatch):
     """END-TO-END: variational_update through the fused Pallas path
-    (AGP_TPU_PALLAS=1 + interpret mode) must match the XLA path."""
+    (AGP_TPU_PALLAS=1 + interpret mode) must match the XLA path for every
+    fused likelihood."""
     import agp_tpu as agp
-    from agp_tpu.inference.analytic_vi import variational_update
+    from agp_tpu.inference.analytic_vi import _pallas_fused_spec, variational_update
     from agp_tpu.training.train import init_state
 
     B, D = 300, 8
     key = jax.random.PRNGKey(0)
     X = jax.random.normal(key, (B, D), dtype=jnp.float64)
-    y = jnp.sign(jax.random.normal(jax.random.PRNGKey(2), (B,), dtype=jnp.float64))
+    f = jnp.sin(X[:, 0])
+    liks = {
+        "logistic": (agp.LogisticLikelihood.create(), np.where(np.asarray(f) > 0, 1.0, -1.0)),
+        "gaussian": (agp.GaussianLikelihood.create(0.05, opt_noise=False), np.asarray(f)),
+        "studentt": (agp.StudentTLikelihood.create(4.0), np.asarray(f)),
+        "laplace": (agp.LaplaceLikelihood.create(), np.asarray(f)),
+        "bayesiansvm": (agp.BayesianSVM.create(), np.where(np.asarray(f) > 0, 1.0, -1.0)),
+        "matern32": (agp.Matern32Likelihood.create(0.7), np.asarray(f)),
+    }
+    lik, y = liks[lik_name]
     model = agp.SVGP.create(
         agp.SqExponentialKernel(lengthscale=jnp.asarray(1.3)),
-        agp.LogisticLikelihood.create(),
+        lik,
         agp.AnalyticVI(),
         Z=X[:64],
         optimiser=None,
     )
-    y2, lik = model.likelihood.treat_labels(np.asarray(y))
-    model = model.replace(likelihood=lik)
+    y2, lik2 = model.likelihood.treat_labels(y)
+    model = model.replace(likelihood=lik2)
     y2 = jnp.asarray(y2, X.dtype)
     state0 = init_state(model, X, y2)
 
+    monkeypatch.setenv("AGP_TPU_PALLAS", "1")
+    spec = _pallas_fused_spec(model)
+    assert spec is not None and spec[1] == lik_name
     monkeypatch.delenv("AGP_TPU_PALLAS", raising=False)
+
     m_x, s_x = variational_update(model, state0, X, y2)
     m_x, s_x = variational_update(m_x, s_x, X, y2)
 
@@ -119,3 +137,9 @@ def test_fused_production_step_matches_xla(setup, monkeypatch):
         np.asarray(s_p.local_vars["theta"]), np.asarray(s_x.local_vars["theta"]),
         rtol=1e-4, atol=1e-6,
     )
+    _, _, _, _, c_key = spec
+    if c_key is not None:
+        np.testing.assert_allclose(
+            np.asarray(s_p.local_vars[c_key]), np.asarray(s_x.local_vars[c_key]),
+            rtol=1e-4, atol=1e-6,
+        )
