@@ -98,6 +98,34 @@ def _pallas_kind(model):
     return kind
 
 
+def _pallas_kind_batched(model):
+    """Fused-kernel kind for the MULTI-latent sparse path (multiclass [K],
+    multi-output [Q], heteroscedastic [2]): the latent axis becomes a Pallas
+    grid dimension (ops/pallas_kernels.py::fused_kappa_moments_batched /
+    cavi_stats_batched).
+
+    Measured v5e win region (K=10 logistic-softmax, RESULTS.md): 1.30x at
+    M=512/B=8192, 1.36x at M=256/B=32768, a wash (0.97x) at M=256/B=8192 --
+    so in auto mode the batched tier additionally requires M >= 512 or a
+    large batch on top of the single-latent tier's M >= 256 gate."""
+    import os
+
+    if not _pallas_enabled(model) or model.n_latent <= 1:
+        return None
+    if not model.is_sparse or getattr(model, "is_online", False):
+        return None
+    if os.environ.get("AGP_TPU_PALLAS") != "1":
+        bs = getattr(model.inference, "batchsize", None)
+        if getattr(model, "n_inducing", 0) < 512 and (bs is not None and bs < 16384):
+            return None
+    kind = _PALLAS_KINDS.get(type(model.kernel).__name__)
+    if kind is None:
+        return None
+    if jnp.ndim(model.kernel.lengthscale) > 1:  # [L, D] ARD: not fused
+        return None
+    return kind
+
+
 def _pallas_fused_spec(model):
     """(kind, lik_name, p0, p1, c_key) when the WHOLE single-latent CAVI
     statistics pass can run as one fused Pallas kernel
@@ -200,6 +228,22 @@ def latent_moments(model, state: TrainState, x, kmat):
             vf = Ktilde1 + jnp.sum((kappa1 @ state.Sigma[0]) * kappa1, axis=1)
             return mu_f, vf[None], kappa1[None]
         else:
+            kind = _pallas_kind_batched(model)
+            if kind is not None:
+                from ..ops import pallas_kernels as pk
+
+                kappa, mu_f, var_f = pk.fused_kappa_moments_batched(
+                    x,
+                    model.Z,
+                    kmat["K_inv"],
+                    jnp.ravel(model.kernel.lengthscale),
+                    jnp.ravel(model.kernel.variance),
+                    state.mu,
+                    state.Sigma,
+                    jitter(x.dtype),
+                    kind=kind,
+                )
+                return mu_f.astype(x.dtype), var_f.astype(x.dtype), kappa.astype(x.dtype)
             _, kappa, Ktilde = compute_kappa(model, x, kmat)
         mu_f = jnp.einsum("lbm,lm->lb", kappa, state.mu)
         kS = jnp.einsum(
@@ -297,6 +341,12 @@ def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> Train
             k1 = kappa[0]
             s1 = (k1.T @ (rho * gmu[0]))[None]
             stat2 = ((k1 * (rho * gs[0])[:, None]).T @ k1)[None]
+        elif _pallas_kind_batched(model) is not None:
+            from ..ops import pallas_kernels as pk
+
+            s1, stat2 = pk.cavi_stats_batched(kappa, rho * gmu, rho * gs)
+            s1 = s1.astype(kappa.dtype)
+            stat2 = stat2.astype(kappa.dtype)
         else:
             s1 = jnp.einsum("lbm,lb->lm", kappa, rho * gmu)
             stat2 = jnp.einsum(

@@ -47,31 +47,35 @@ def _round_up(x, m):
 
 
 # ------------------------------------------------------------- fused kappa
+def _gram(x, z, var, kind):
+    """Stationary gram block k(x, z) [B, M]; the single source of truth for
+    the kernel formulas used by both the Pallas kernels and their XLA twins
+    (AD backward path)."""
+    xx = jnp.sum(x * x, axis=1, keepdims=True)
+    zz = jnp.sum(z * z, axis=1, keepdims=True).T
+    xz = jnp.dot(x, z.T, preferred_element_type=jnp.float32)
+    r2 = jnp.maximum(xx + zz - 2.0 * xz, 0.0)
+    if kind == "rbf":
+        return var * jnp.exp(-0.5 * r2)
+    if kind == "matern32":
+        r = jnp.sqrt(jnp.maximum(3.0 * r2, 1e-36))
+        return var * (1.0 + r) * jnp.exp(-r)
+    if kind == "matern52":
+        r = jnp.sqrt(jnp.maximum(5.0 * r2, 1e-36))
+        return var * (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+    if kind == "matern12":
+        r = jnp.sqrt(jnp.maximum(r2, 1e-36))
+        return var * jnp.exp(-r)
+    raise ValueError(kind)
+
+
 def _kappa_kernel(x_ref, z_ref, kinv_ref, params_ref, kappa_ref, ktilde_ref, *, kind):
     # x: [TB, D], z: [M, D], kinv: [M, M], params: [2] (lengthscale scalar,
     # variance) in SMEM
     ls = params_ref[0]
     var = params_ref[1]
     jitt = params_ref[2]
-    x = x_ref[:] / ls
-    z = z_ref[:] / ls
-    xx = jnp.sum(x * x, axis=1, keepdims=True)  # [TB, 1]
-    zz = jnp.sum(z * z, axis=1, keepdims=True).T  # [1, M]
-    xz = jnp.dot(x, z.T, preferred_element_type=jnp.float32)
-    r2 = jnp.maximum(xx + zz - 2.0 * xz, 0.0)
-    if kind == "rbf":
-        knm = var * jnp.exp(-0.5 * r2)
-    elif kind == "matern32":
-        r = jnp.sqrt(jnp.maximum(3.0 * r2, 1e-36))
-        knm = var * (1.0 + r) * jnp.exp(-r)
-    elif kind == "matern52":
-        r = jnp.sqrt(jnp.maximum(5.0 * r2, 1e-36))
-        knm = var * (1.0 + r + r * r / 3.0) * jnp.exp(-r)
-    elif kind == "matern12":
-        r = jnp.sqrt(jnp.maximum(r2, 1e-36))
-        knm = var * jnp.exp(-r)
-    else:
-        raise ValueError(kind)
+    knm = _gram(x_ref[:] / ls, z_ref[:] / ls, var, kind)
     kappa = jnp.dot(knm, kinv_ref[:], preferred_element_type=jnp.float32)
     kappa_ref[:] = kappa
     # Ktilde = var + jitt - diag(kappa Knm^T); kept [TB, 1] -- 1-D operands
@@ -81,9 +85,48 @@ def _kappa_kernel(x_ref, z_ref, kinv_ref, params_ref, kappa_ref, ktilde_ref, *, 
     )
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "tile_b"))
+def _kappa_xla_twin(X, Z, K_inv, lengthscale, variance, jitt, kind):
+    """Pure-XLA implementation of exactly the fused_kappa math (including
+    the Ktilde floor).  Used as the reverse-mode rule: `pallas_call` has no
+    AD, but the hyperparameter step differentiates the ELBO through
+    latent_moments -> fused_kappa (training/autotuning.py), so the custom
+    VJP recomputes this twin's linearization in the backward pass."""
+    knm = _gram(X / lengthscale, Z / lengthscale, variance, kind)
+    kappa = jnp.dot(knm, K_inv, preferred_element_type=jnp.float32)
+    ktilde = jnp.maximum(
+        variance + jitt - jnp.sum(kappa * knm, axis=1), 1e-12
+    )
+    return kappa, ktilde
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def fused_kappa(X, Z, K_inv, lengthscale, variance, jitt, kind="rbf", tile_b=512):
-    """Single-latent fused (kappa, Ktilde).  X [B, D], Z [M, D]."""
+    """Single-latent fused (kappa, Ktilde).  X [B, D], Z [M, D].
+    Differentiable: backward runs through the XLA twin (see
+    `_kappa_xla_twin`); the Pallas kernel is forward-only."""
+    return _fused_kappa_impl(X, Z, K_inv, lengthscale, variance, jitt, kind, tile_b)
+
+
+def _fused_kappa_fwd(X, Z, K_inv, lengthscale, variance, jitt, kind, tile_b):
+    out = _fused_kappa_impl(X, Z, K_inv, lengthscale, variance, jitt, kind, tile_b)
+    return out, (X, Z, K_inv, lengthscale, variance, jitt)
+
+
+def _fused_kappa_bwd(kind, tile_b, res, cts):
+    X, Z, K_inv, lengthscale, variance, jitt = res
+    outs, vjp = jax.vjp(
+        lambda x, z, ki, ls, var, jt: _kappa_xla_twin(x, z, ki, ls, var, jt, kind),
+        X, Z, K_inv, lengthscale, variance, jitt,
+    )
+    cts = tuple(jnp.asarray(c, o.dtype) for c, o in zip(cts, outs))
+    return vjp(cts)
+
+
+fused_kappa.defvjp(_fused_kappa_fwd, _fused_kappa_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "tile_b"))
+def _fused_kappa_impl(X, Z, K_inv, lengthscale, variance, jitt, kind, tile_b):
     B, D = X.shape
     M = Z.shape[0]
     Bp = _round_up(B, tile_b)
@@ -115,6 +158,182 @@ def fused_kappa(X, Z, K_inv, lengthscale, variance, jitt, kind="rbf", tile_b=512
         ],
     )(X.astype(jnp.float32), Z.astype(jnp.float32), K_inv.astype(jnp.float32), params)
     return kappa[:B], ktilde[:B, 0]
+
+
+# --------------------------------------- batched (multi-latent) kappa+moments
+def _kappa_moments_batched_kernel(
+    x_ref, z_ref, kinv_ref, mu_ref, sigma_ref, params_ref,
+    kappa_ref, mf_ref, vf_ref, *, kind,
+):
+    """Grid (L, B-tiles): one latent GP x one minibatch tile per step.
+    gram -> kappa -> Ktilde -> mean_f/var_f in one VMEM-resident pass; Knm
+    never reaches HBM.  kappa IS written out (the E-step couples latents --
+    e.g. the logistic-softmax inner fixed point sums over classes -- so the
+    statistics contraction needs kappa again after an XLA elementwise
+    stage; see `cavi_stats_batched`).
+
+    params_ref is the full [L, 3] SMEM array (blocked SMEM specs are not
+    lowerable on TPU), indexed by the latent grid position."""
+    l = pl.program_id(0)
+    ls = params_ref[l, 0]
+    var = params_ref[l, 1]
+    jitt = params_ref[l, 2]
+    knm = _gram(x_ref[:] / ls, z_ref[0] / ls, var, kind)
+    kappa = jnp.dot(knm, kinv_ref[0], preferred_element_type=jnp.float32)
+    ktilde = jnp.maximum(
+        var + jitt - jnp.sum(kappa * knm, axis=1, keepdims=True), 1e-12
+    )
+    mf = jnp.dot(kappa, mu_ref[0], preferred_element_type=jnp.float32)  # [TB,1]
+    kS = jnp.dot(kappa, sigma_ref[0], preferred_element_type=jnp.float32)
+    vf = ktilde + jnp.sum(kS * kappa, axis=1, keepdims=True)
+    kappa_ref[0] = kappa
+    mf_ref[0] = mf
+    vf_ref[0] = vf
+
+
+def _kappa_moments_xla_twin(X, Z, K_inv, ls, var, mu, Sigma, jitt, kind):
+    """Pure-XLA twin of the batched kernel's math (AD backward rule)."""
+    def one(z, kinv, l, v, m, s):
+        kappa, ktilde = _kappa_xla_twin(X, z, kinv, l, v, jitt, kind)
+        mf = kappa @ m
+        vf = ktilde + jnp.sum((kappa @ s) * kappa, axis=1)
+        return kappa, mf, vf
+
+    return jax.vmap(one)(Z, K_inv, ls, var, mu, Sigma)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_kappa_moments_batched(
+    X, Z, K_inv, ls, var, mu, Sigma, jitt, kind="rbf", tile_b=512
+):
+    """Multi-latent fused (kappa [L,B,M], mean_f [L,B], var_f [L,B]).
+
+    X [B,D]; Z [L,M,D]; K_inv [L,M,M]; ls, var [L]; mu [L,M]; Sigma [L,M,M].
+    The latent axis is a grid dimension: multiclass (K classes), MOVGP/
+    MOSVGP (Q latents) and heteroscedastic (2 GPs) all hit the same fused
+    path that the single-latent models get from `fused_kappa`.
+    Differentiable via the XLA twin (hyperparameter steps)."""
+    return _kappa_moments_batched_impl(X, Z, K_inv, ls, var, mu, Sigma, jitt, kind, tile_b)
+
+
+def _kappa_moments_batched_fwd(X, Z, K_inv, ls, var, mu, Sigma, jitt, kind, tile_b):
+    out = _kappa_moments_batched_impl(X, Z, K_inv, ls, var, mu, Sigma, jitt, kind, tile_b)
+    return out, (X, Z, K_inv, ls, var, mu, Sigma, jitt)
+
+
+def _kappa_moments_batched_bwd(kind, tile_b, res, cts):
+    X, Z, K_inv, ls, var, mu, Sigma, jitt = res
+    outs, vjp = jax.vjp(
+        lambda x, z, ki, l, v, m, s, jt: _kappa_moments_xla_twin(
+            x, z, ki, l, v, m, s, jt, kind
+        ),
+        X, Z, K_inv, ls, var, mu, Sigma, jitt,
+    )
+    cts = tuple(jnp.asarray(c, o.dtype) for c, o in zip(cts, outs))
+    return vjp(cts)
+
+
+fused_kappa_moments_batched.defvjp(
+    _kappa_moments_batched_fwd, _kappa_moments_batched_bwd
+)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "tile_b"))
+def _kappa_moments_batched_impl(X, Z, K_inv, ls, var, mu, Sigma, jitt, kind, tile_b):
+    B, D = X.shape
+    L, M, _ = Z.shape
+    Bp = _round_up(B, tile_b)
+    if Bp != B:
+        X = jnp.pad(X, ((0, Bp - B), (0, 0)))
+    params = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.ravel(ls.astype(jnp.float32)), (L,)),
+            jnp.broadcast_to(jnp.ravel(var.astype(jnp.float32)), (L,)),
+            jnp.full((L,), jitt, jnp.float32),
+        ],
+        axis=1,
+    )  # [L, 3]
+    kappa, mf, vf = pl.pallas_call(
+        functools.partial(_kappa_moments_batched_kernel, kind=kind),
+        grid=(L, Bp // tile_b),
+        in_specs=[
+            pl.BlockSpec((tile_b, D), lambda l, i: (i, 0)),
+            pl.BlockSpec((1, M, D), lambda l, i: (l, 0, 0)),
+            pl.BlockSpec((1, M, M), lambda l, i: (l, 0, 0)),
+            pl.BlockSpec((1, M, 1), lambda l, i: (l, 0, 0)),
+            pl.BlockSpec((1, M, M), lambda l, i: (l, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_b, M), lambda l, i: (l, i, 0)),
+            pl.BlockSpec((1, tile_b, 1), lambda l, i: (l, i, 0)),
+            pl.BlockSpec((1, tile_b, 1), lambda l, i: (l, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, Bp, M), jnp.float32),
+            jax.ShapeDtypeStruct((L, Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((L, Bp, 1), jnp.float32),
+        ],
+    )(
+        X.astype(jnp.float32),
+        Z.astype(jnp.float32),
+        K_inv.astype(jnp.float32),
+        mu.astype(jnp.float32)[..., None],
+        Sigma.astype(jnp.float32),
+        params,
+    )
+    return kappa[:, :B], mf[:, :B, 0], vf[:, :B, 0]
+
+
+# ----------------------------------------------- batched (multi-latent) stats
+def _stats_batched_kernel(kappa_ref, g_ref, theta_ref, s1_ref, s2_ref):
+    i = pl.program_id(1)
+    kappa = kappa_ref[0]  # [TB, M]
+    g = g_ref[0]  # [TB, 1]
+    th = theta_ref[0]  # [TB, 1]
+
+    @pl.when(i == 0)
+    def _():
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        s2_ref[:] = jnp.zeros_like(s2_ref)
+
+    s1_ref[0] += jnp.sum(kappa * g, axis=0, keepdims=True)
+    s2_ref[0] += jnp.dot((kappa * th).T, kappa, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b",))
+def cavi_stats_batched(kappa, g, theta, tile_b=512):
+    """s1[l] = kappa[l]^T g[l], S2[l] = kappa[l]^T diag(theta[l]) kappa[l]
+    for every latent l in one pass over kappa (grid (L, B-tiles); the [M] /
+    [M,M] accumulators stay VMEM-resident across each latent's B-loop)."""
+    L, B, M = kappa.shape
+    Bp = _round_up(B, tile_b)
+    if Bp != B:
+        kappa = jnp.pad(kappa, ((0, 0), (0, Bp - B), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, Bp - B)))
+        theta = jnp.pad(theta, ((0, 0), (0, Bp - B)))
+    s1, s2 = pl.pallas_call(
+        _stats_batched_kernel,
+        grid=(L, Bp // tile_b),
+        in_specs=[
+            pl.BlockSpec((1, tile_b, M), lambda l, i: (l, i, 0)),
+            pl.BlockSpec((1, tile_b, 1), lambda l, i: (l, i, 0)),
+            pl.BlockSpec((1, tile_b, 1), lambda l, i: (l, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, M), lambda l, i: (l, 0, 0)),
+            pl.BlockSpec((1, M, M), lambda l, i: (l, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, 1, M), jnp.float32),
+            jax.ShapeDtypeStruct((L, M, M), jnp.float32),
+        ],
+    )(
+        kappa.astype(jnp.float32),
+        g.astype(jnp.float32)[..., None],
+        theta.astype(jnp.float32)[..., None],
+    )
+    return s1[:, 0], s2
 
 
 # ------------------------------------------------------------- CAVI stats

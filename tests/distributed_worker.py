@@ -14,6 +14,10 @@ import json
 import os
 import sys
 
+# the worker is launched as a script from tests/: put the repo root on the
+# path so `import agp_tpu` resolves regardless of the launcher's environment
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     pid = int(sys.argv[1])

@@ -143,3 +143,166 @@ def test_fused_production_step_matches_xla(lik_name, monkeypatch):
             np.asarray(s_p.local_vars[c_key]), np.asarray(s_x.local_vars[c_key]),
             rtol=1e-4, atol=1e-6,
         )
+
+
+def test_batched_kappa_moments_and_stats():
+    """Multi-latent fused kernels (latent axis as a grid dimension) against
+    einsum references, including AD through the custom VJP."""
+    L, B, D, M = 3, 300, 5, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    X = jax.random.normal(ks[0], (B, D))
+    Z = jax.random.normal(ks[1], (L, M, D))
+    ls = jnp.array([1.1, 0.9, 1.4])
+    var = jnp.array([1.0, 2.0, 0.7])
+    jitt = 1e-4
+
+    def gram(x, z, l, v):
+        r2 = ((x[:, None, :] / l - z[None] / l) ** 2).sum(-1)
+        return v * jnp.exp(-0.5 * r2)
+
+    K = jax.vmap(lambda z, l, v: gram(z, z, l, v) + jitt * jnp.eye(M))(Z, ls, var)
+    Kinv = jnp.linalg.inv(K)
+    mu = jax.random.normal(ks[2], (L, M))
+    A = jax.random.normal(ks[3], (L, M, M))
+    Sigma = jnp.einsum("lmn,lkn->lmk", A, A) / M + jnp.eye(M)[None]
+
+    Knm = jax.vmap(lambda z, l, v: gram(X, z, l, v))(Z, ls, var)
+    kap_r = jnp.einsum("lbm,lmn->lbn", Knm, Kinv)
+    mf_r = jnp.einsum("lbm,lm->lb", kap_r, mu)
+    kt_r = jnp.maximum(var[:, None] + jitt - jnp.sum(kap_r * Knm, -1), 1e-12)
+    vf_r = kt_r + jnp.einsum("lbm,lmn,lbn->lb", kap_r, Sigma, kap_r)
+
+    with pltpu.force_tpu_interpret_mode():
+        kap, mf, vf = pk.fused_kappa_moments_batched(
+            X, Z, Kinv, ls, var, mu, Sigma, jitt, kind="rbf", tile_b=128
+        )
+    np.testing.assert_allclose(np.asarray(kap), np.asarray(kap_r), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(mf), np.asarray(mf_r), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vf_r), atol=1e-4)
+
+    g = jax.random.normal(ks[4], (L, B))
+    th = jax.random.uniform(ks[5], (L, B))
+    with pltpu.force_tpu_interpret_mode():
+        s1, S2 = pk.cavi_stats_batched(kap_r, g, th, tile_b=128)
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(jnp.einsum("lbm,lb->lm", kap_r, g)),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(S2),
+        np.asarray(jnp.einsum("lbm,lb,lbn->lmn", kap_r, th, kap_r)),
+        rtol=1e-3, atol=1e-4,
+    )
+
+    # hyperparameter gradients flow through the XLA-twin VJP
+    def loss(lsx):
+        _, mfx, vfx = pk.fused_kappa_moments_batched(
+            X, Z, Kinv, lsx, var, mu, Sigma, jitt, kind="rbf", tile_b=128
+        )
+        return jnp.sum(mfx**2) + jnp.sum(vfx)
+
+    def loss_ref(lsx):
+        knm = jax.vmap(lambda z, l, v: gram(X, z, l, v))(Z, lsx, var)
+        kapx = jnp.einsum("lbm,lmn->lbn", knm, Kinv)
+        mfx = jnp.einsum("lbm,lm->lb", kapx, mu)
+        ktx = jnp.maximum(var[:, None] + jitt - jnp.sum(kapx * knm, -1), 1e-12)
+        vfx = ktx + jnp.einsum("lbm,lmn,lbn->lb", kapx, Sigma, kapx)
+        return jnp.sum(mfx**2) + jnp.sum(vfx)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_p = jax.grad(loss)(ls)
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(jax.grad(loss_ref)(ls)), rtol=1e-5
+    )
+
+
+def test_multiclass_production_step_fused_matches_xla(monkeypatch):
+    """END-TO-END multi-latent: a multiclass SVGP CAVI step through the
+    batched fused path (AGP_TPU_PALLAS=1 + interpret mode) matches the XLA
+    einsum path."""
+    import agp_tpu as agp
+    from agp_tpu.inference.analytic_vi import variational_update
+    from agp_tpu.training.train import init_state
+
+    B, D, M, K = 200, 4, 32, 3
+    key = jax.random.PRNGKey(1)
+    X = jax.random.normal(key, (B, D), dtype=jnp.float64)
+    y = np.asarray(jnp.argmax(X[:, :K], axis=1))
+    model = agp.SVGP.create(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(1.3)),
+        agp.LogisticSoftMaxLikelihood.create(K),
+        agp.AnalyticVI(),
+        Z=X[:M],
+        optimiser=None,
+    )
+    y2, lik2 = model.likelihood.treat_labels(y)
+    model = model.replace(likelihood=lik2)
+    y2 = jnp.asarray(y2, X.dtype)
+    state0 = init_state(model, X, y2)
+
+    m_x, s_x = variational_update(model, state0, X, y2)
+    m_x, s_x = variational_update(m_x, s_x, X, y2)
+
+    monkeypatch.setenv("AGP_TPU_PALLAS", "1")
+    with pltpu.force_tpu_interpret_mode():
+        m_p, s_p = variational_update(model, state0, X, y2)
+        m_p, s_p = variational_update(m_p, s_p, X, y2)
+
+    np.testing.assert_allclose(np.asarray(s_p.mu), np.asarray(s_x.mu), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_p.Sigma), np.asarray(s_x.Sigma), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_p.local_vars["theta"]), np.asarray(s_x.local_vars["theta"]),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_hyper_gradients_through_fused_kappa(monkeypatch):
+    """The hyperparameter step differentiates the ELBO through
+    latent_moments -> fused_kappa; `pallas_call` itself has no AD rule, so
+    fused_kappa carries a custom VJP that recomputes through an XLA twin.
+    Gradients with the Pallas path forced on must match the pure-XLA path
+    (the forward primals agree to f32 accuracy, the backward rule is the
+    same linearization)."""
+    import agp_tpu as agp
+    from agp_tpu.inference import analytic_vi
+    from agp_tpu.inference.objective import objective
+    from agp_tpu.training.train import init_state
+
+    B, D, M = 200, 4, 32
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (B, D), dtype=jnp.float64)
+    y = jnp.sign(jnp.sin(X[:, 0]) + 0.1)
+    model = agp.SVGP.create(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(1.4)),
+        agp.LogisticLikelihood.create(),
+        agp.AnalyticVI(),
+        Z=X[:M],
+        optimiser=None,
+    )
+    y2, lik2 = model.likelihood.treat_labels(np.asarray(y))
+    model = model.replace(likelihood=lik2)
+    y2 = jnp.asarray(y2, X.dtype)
+    state = init_state(model, X, y2)
+
+    def neg_elbo(log_k):
+        kernel = jax.tree_util.tree_map(jnp.exp, log_k)
+        m2 = model.replace(kernel=kernel)
+        kmat = analytic_vi.compute_kmat(m2, X)
+        return -objective(m2, state, X, y2, kmat=kmat)
+
+    log_k = jax.tree_util.tree_map(jnp.log, model.kernel)
+    g_xla = jax.grad(neg_elbo)(log_k)
+
+    monkeypatch.setenv("AGP_TPU_PALLAS", "1")
+    with pltpu.force_tpu_interpret_mode():
+        g_pallas = jax.grad(neg_elbo)(log_k)
+
+    np.testing.assert_allclose(
+        np.asarray(g_pallas.lengthscale), np.asarray(g_xla.lengthscale),
+        rtol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_pallas.variance), np.asarray(g_xla.variance), rtol=5e-3
+    )
