@@ -39,11 +39,14 @@ class PoissonLikelihood(SingleLatentLikelihood):
       lambda <- sum(y) / sum(E[sigma(f)])   (closed-form rate update)
     """
 
-    lam: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.0))
+    lam: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(1.0, jnp.result_type(float))
+    )
 
     @classmethod
     def create(cls, lam: float = 1.0):
-        return cls(lam=jnp.asarray(float(lam)))
+        # strong-typed: lam has a closed-form MLE update every local step
+        return cls(lam=jnp.asarray(float(lam), jnp.result_type(float)))
 
     @classmethod
     def implemented(cls):

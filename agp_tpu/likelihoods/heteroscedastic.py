@@ -25,11 +25,15 @@ class HeteroscedasticLikelihood(Likelihood):
     """lambda = maximum precision; updated in closed form every local step
     (heteroscedastic.jl:50-96)."""
 
-    lam: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.0))
+    lam: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(1.0, jnp.result_type(float))
+    )
 
     @classmethod
     def create(cls, lam: float = 1.0):
-        return cls(lam=jnp.asarray(float(lam)))
+        # strong-typed: lam updates every local step (see likelihood docstring
+        # in regression.py::GaussianLikelihood.create for why)
+        return cls(lam=jnp.asarray(float(lam), jnp.result_type(float)))
 
     @property
     def n_latent(self):

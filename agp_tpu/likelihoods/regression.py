@@ -32,14 +32,19 @@ class GaussianLikelihood(SingleLatentLikelihood):
     (reference: likelihood/gaussian.jl:10-23).  theta = 1/sigma^2; optional
     closed-form-gradient noise learning in log space (gaussian.jl:56-72)."""
 
-    sigma2: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1e-3))
+    sigma2: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(1e-3, jnp.result_type(float))
+    )
     opt_noise: Optional[Any] = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, sigma2: float = 1e-3, opt_noise=False):
         if isinstance(opt_noise, bool):
             opt_noise = optax.adam(0.05) if opt_noise else None
-        return cls(sigma2=jnp.asarray(sigma2), opt_noise=opt_noise)
+        # strong-typed: sigma2 updates during training (noise learning); a
+        # weak-typed leaf would flip weak->strong on the first update and
+        # force a jit recompile mid-training
+        return cls(sigma2=jnp.asarray(sigma2, jnp.result_type(float)), opt_noise=opt_noise)
 
     @classmethod
     def implemented(cls):
