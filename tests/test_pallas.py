@@ -125,9 +125,13 @@ def test_fused_production_step_matches_xla(lik_name, monkeypatch):
     m_x, s_x = variational_update(m_x, s_x, X, y2)
 
     monkeypatch.setenv("AGP_TPU_PALLAS", "1")
+    # Run the step jitted inside interpret mode (as production always does):
+    # eager per-op dispatch interleaved with the mosaic interpreter's async
+    # callback threads can deadlock jax's dispatch lock on small hosts.
+    vu = jax.jit(variational_update)
     with pltpu.force_tpu_interpret_mode():
-        m_p, s_p = variational_update(model, state0, X, y2)
-        m_p, s_p = variational_update(m_p, s_p, X, y2)
+        m_p, s_p = jax.block_until_ready(vu(model, state0, X, y2))
+        m_p, s_p = jax.block_until_ready(vu(m_p, s_p, X, y2))
 
     np.testing.assert_allclose(np.asarray(s_p.mu), np.asarray(s_x.mu), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(
@@ -210,7 +214,7 @@ def test_batched_kappa_moments_and_stats():
         return jnp.sum(mfx**2) + jnp.sum(vfx)
 
     with pltpu.force_tpu_interpret_mode():
-        g_p = jax.grad(loss)(ls)
+        g_p = jax.block_until_ready(jax.jit(jax.grad(loss))(ls))
     np.testing.assert_allclose(
         np.asarray(g_p), np.asarray(jax.grad(loss_ref)(ls)), rtol=1e-5
     )
@@ -244,9 +248,12 @@ def test_multiclass_production_step_fused_matches_xla(monkeypatch):
     m_x, s_x = variational_update(m_x, s_x, X, y2)
 
     monkeypatch.setenv("AGP_TPU_PALLAS", "1")
+    # jit inside interpret mode: see note in
+    # test_fused_production_step_matches_xla (eager/callback deadlock).
+    vu = jax.jit(variational_update)
     with pltpu.force_tpu_interpret_mode():
-        m_p, s_p = variational_update(model, state0, X, y2)
-        m_p, s_p = variational_update(m_p, s_p, X, y2)
+        m_p, s_p = jax.block_until_ready(vu(model, state0, X, y2))
+        m_p, s_p = jax.block_until_ready(vu(m_p, s_p, X, y2))
 
     np.testing.assert_allclose(np.asarray(s_p.mu), np.asarray(s_x.mu), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(
@@ -297,7 +304,7 @@ def test_hyper_gradients_through_fused_kappa(monkeypatch):
 
     monkeypatch.setenv("AGP_TPU_PALLAS", "1")
     with pltpu.force_tpu_interpret_mode():
-        g_pallas = jax.grad(neg_elbo)(log_k)
+        g_pallas = jax.block_until_ready(jax.jit(jax.grad(neg_elbo))(log_k))
 
     np.testing.assert_allclose(
         np.asarray(g_pallas.lengthscale), np.asarray(g_xla.lengthscale),
