@@ -23,6 +23,7 @@ Update equations (re-derived; reference analyticVI.jl:126-180):
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Dict, Tuple
 
 import jax
@@ -61,6 +62,26 @@ _PALLAS_KINDS = {
 }
 
 
+# Trace-time override for the fused-tier gate.  GSPMD-partitioned programs
+# (parallel/mesh.py jit-with-shardings steps) must trace with the tier OFF:
+# XLA treats a pallas_call as an opaque custom call it cannot partition, so
+# the partitioner would all-gather the sharded minibatch around it.  The
+# shard_map-based fused step (mesh.py::sharded_fused_svi_step) instead calls
+# the kernel per shard explicitly and psums the statistics.
+_PALLAS_OVERRIDE: list[str | None] = [None]
+
+
+@contextlib.contextmanager
+def pallas_override(mode: str | None):
+    """Force the fused-tier gate within a trace: "on", "off", or None (auto).
+    Takes precedence over the AGP_TPU_PALLAS env var."""
+    _PALLAS_OVERRIDE.append(mode)
+    try:
+        yield
+    finally:
+        _PALLAS_OVERRIDE.pop()
+
+
 def _pallas_enabled(model) -> bool:
     """Shape-aware gate for the fused Pallas tier.
 
@@ -72,6 +93,8 @@ def _pallas_enabled(model) -> bool:
     AGP_TPU_PALLAS=1 forces on, =0 forces off."""
     import os
 
+    if _PALLAS_OVERRIDE[-1] is not None:
+        return _PALLAS_OVERRIDE[-1] == "on"
     flag = os.environ.get("AGP_TPU_PALLAS")
     if flag == "0":
         return False

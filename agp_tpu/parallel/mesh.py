@@ -59,7 +59,7 @@ def data_parallel_step(mesh: Mesh, axis_name: str = "data"):
     axis, model/state replicated.  GSPMD turns the [M]/[M,M] statistic
     contractions into psums over `axis_name` -- no manual collectives.
     """
-    from ..inference.analytic_vi import variational_update
+    from ..inference.analytic_vi import pallas_override, variational_update
 
     data_spec = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
@@ -70,7 +70,11 @@ def data_parallel_step(mesh: Mesh, axis_name: str = "data"):
         out_shardings=None,
     )
     def step(model, state, x, y):
-        model, state = variational_update(model, state, x, y)
+        # GSPMD cannot partition a pallas_call (opaque custom call): trace
+        # with the fused tier off; XLA's einsum contractions psum cleanly.
+        # The fused multi-chip path is sharded_fused_svi_step (shard_map).
+        with pallas_override("off"):
+            model, state = variational_update(model, state, x, y)
         return model, state.replace(step=state.step + 1)
 
     return step
@@ -109,7 +113,7 @@ def sharded_svi_step(mesh: Mesh, batch_per_device: int, axis_name: str = "data")
     variational update runs on the sharded minibatch with GSPMD psum-ing
     the [M]/[M,M] statistics.
     """
-    from ..inference.analytic_vi import variational_update
+    from ..inference.analytic_vi import pallas_override, variational_update
 
     P_ = P(axis_name)
 
@@ -131,7 +135,107 @@ def sharded_svi_step(mesh: Mesh, batch_per_device: int, axis_name: str = "data")
         key, sub = jax.random.split(state.key)
         x_b, y_b = draw_sharded(X, y, sub)
         state = state.replace(key=key)
-        model, state = variational_update(model, state, x_b, y_b)
+        # fused tier off under GSPMD (see data_parallel_step); use
+        # sharded_fused_svi_step for the Pallas multi-chip path.
+        with pallas_override("off"):
+            model, state = variational_update(model, state, x_b, y_b)
+        return model, state.replace(step=state.step + 1)
+
+    return step
+
+
+def sharded_fused_svi_step(mesh: Mesh, model_template, batch_per_device: int, axis_name: str = "data"):
+    """Multi-chip fused-Pallas SVI step (the roadmap's "psum'd fused
+    statistics" design).
+
+    Under `shard_map`, every device draws its own minibatch from its local
+    X shard and runs the ENTIRE CAVI statistics pass -- gram -> kappa ->
+    K-tilde -> latent moments -> E-step -> both statistic contractions --
+    as ONE Pallas kernel on its shard (ops/pallas_kernels.py::
+    fused_cavi_stats; the shard is read from HBM exactly once).  The only
+    collectives are the psums of the [M] and [M, M] statistics over the
+    data axis, riding ICI.  The tiny replicated natural-gradient update
+    (eta -> moments, O(M^3) on [M, M]) then runs once under GSPMD.
+
+    `model_template` fixes the trace-time dispatch (kernel kind, likelihood
+    branch); the jitted step still takes the live model pytree.  Raises if
+    the combination has no fused kernel -- fall back to sharded_svi_step.
+    """
+    import os
+
+    from ..config import jitter as _jitter
+    from ..inference.analytic_vi import (
+        _nat_update_from_stats,
+        _pallas_fused_spec,
+        pallas_override,
+    )
+    from ..ops import pallas_kernels as pk
+
+    with pallas_override("on"):
+        spec = _pallas_fused_spec(model_template)
+    if spec is None:
+        raise ValueError(
+            "no fused Pallas kernel for this (kernel, likelihood) pair -- "
+            "use sharded_svi_step"
+        )
+    kind, lik_name, _, _, c_key = spec
+    bf16 = os.environ.get("AGP_TPU_BF16") == "1"
+    P_ = P(axis_name)
+
+    def local_stats(model, state, xs, ys, key):
+        dev = jax.lax.axis_index(axis_name)
+        k = jax.random.fold_in(key, dev)
+        idx = jax.random.randint(k, (batch_per_device,), 0, xs.shape[0])
+        x_b = jnp.take(xs, idx, axis=0)
+        y_b = jnp.take(ys, idx, axis=0)
+        with pallas_override("on"):
+            _, _, p0, p1, _ = _pallas_fused_spec(model)  # traced lik params
+        s1, S2, c, theta = pk.fused_cavi_stats(
+            x_b,
+            y_b,
+            model.Z[0],
+            state.kmat["K_inv"][0],
+            state.mu[0],
+            state.Sigma[0],
+            jnp.ravel(model.kernel.lengthscale)[0],
+            jnp.ravel(model.kernel.variance)[0],
+            _jitter(x_b.dtype),
+            state.rho,
+            lik_p0=p0,
+            lik_p1=p1,
+            kind=kind,
+            lik=lik_name,
+            bf16=bf16,
+        )
+        # rho is applied inside the kernel and the statistics are linear in
+        # the data axis: the psum of per-shard stats IS the global-batch stat.
+        s1 = jax.lax.psum(s1, axis_name)
+        S2 = jax.lax.psum(S2, axis_name)
+        return s1, S2, c, theta
+
+    stats_sharded = jax.shard_map(
+        local_stats,
+        mesh=mesh,
+        in_specs=(P(), P(), P_, P_, P()),
+        out_specs=(P(), P(), P_, P_),
+        # pallas_call's out_shapes carry no varying-mesh-axes annotation;
+        # the specs above state the facts (stats replicated post-psum,
+        # local vars sharded), so skip the vma check.
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(model, state, X, y):
+        key, sub = jax.random.split(state.key)
+        s1, S2, c, theta = stats_sharded(model, state, X, y, sub)
+        local = dict(state.local_vars)
+        local["theta"] = theta.astype(X.dtype)
+        if c_key is not None and c_key in local:
+            local[c_key] = c.astype(X.dtype)
+        state = state.replace(key=key, local_vars=local)
+        state = _nat_update_from_stats(
+            model, state, s1[None].astype(X.dtype), S2[None].astype(X.dtype), X
+        )
         return model, state.replace(step=state.step + 1)
 
     return step
@@ -140,9 +244,15 @@ def sharded_svi_step(mesh: Mesh, batch_per_device: int, axis_name: str = "data")
 def sharded_svi_train(
     model, X, y, iterations: int, mesh: Mesh | None = None,
     batch_per_device: int | None = None, state=None, key=None,
+    fused: bool | None = None,
 ):
     """Minibatched data-parallel training driver (the 1M-point BASELINE
-    config on a pod slice).  Global batch = batch_per_device * n_devices."""
+    config on a pod slice).  Global batch = batch_per_device * n_devices.
+
+    fused: True -> shard_map fused-Pallas statistics step
+    (sharded_fused_svi_step); False -> GSPMD einsum step; None (default) ->
+    fused when the single-chip auto gate would fire (TPU backend, M >= 256,
+    fused likelihood/kernel pair)."""
     from ..models.base import as_2d
     from ..training.train import init_state
 
@@ -169,7 +279,14 @@ def sharded_svi_train(
         state = state.replace(
             rho=jnp.asarray(X.shape[0] / (batch_per_device * n_dev), X.dtype)
         )
-    step = sharded_svi_step(mesh, batch_per_device)
+    if fused is None:
+        from ..inference.analytic_vi import _pallas_fused_spec
+
+        fused = _pallas_fused_spec(model) is not None  # honors the auto gate
+    if fused:
+        step = sharded_fused_svi_step(mesh, model, batch_per_device)
+    else:
+        step = sharded_svi_step(mesh, batch_per_device)
     for _ in range(iterations):
         model, state = step(model, state, Xs, ys)
     return model, state
