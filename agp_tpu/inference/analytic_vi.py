@@ -109,16 +109,25 @@ def _pallas_enabled(model) -> bool:
 
 def _pallas_kind(model):
     """Fused-kernel kind when the Pallas path applies: TPU backend, single
-    latent GP, scalar-lengthscale stationary kernel, winning shape (see
-    `_pallas_enabled`)."""
+    latent GP, stationary kernel, winning shape (see `_pallas_enabled`).
+    ARD lengthscales are supported: per-dim scales fold into the inputs
+    (`_fused_scaled_inputs`), so the kernel always sees an isotropic ls."""
     if not _pallas_enabled(model) or model.n_latent != 1:
         return None
-    kind = _PALLAS_KINDS.get(type(model.kernel).__name__)
-    if kind is None:
-        return None
-    if jnp.ndim(model.kernel.lengthscale) > 1:  # [L, D] ARD: not fused
-        return None
-    return kind
+    return _PALLAS_KINDS.get(type(model.kernel).__name__)
+
+
+def _fused_scaled_inputs(model, x):
+    """(x', Z', ls) for the single-latent fused kernels.  Isotropic
+    lengthscale passes through; an ARD (per-dim) lengthscale is folded into
+    the coordinates (x/ls, Z/ls with ls=1 in-kernel) -- stationary kernels
+    depend on the scaled pairwise distance only, and hyper-gradients flow
+    through the XLA scaling op into the custom-VJP kernels unchanged."""
+    ls = model.kernel.lengthscale
+    ls0 = ls[0] if jnp.ndim(ls) >= 1 else ls  # strip the [L=1] latent axis
+    if jnp.ndim(ls0) == 0:
+        return x, model.Z[0], ls0
+    return x / ls0, model.Z[0] / ls0, jnp.asarray(1.0, x.dtype)
 
 
 def _pallas_kind_batched(model):
@@ -191,11 +200,12 @@ def compute_kappa(model, x, kmat):
     if kind is not None:
         from ..ops import pallas_kernels as pk
 
+        xs, zs, ls = _fused_scaled_inputs(model, x)
         kappa1, Ktilde1 = pk.fused_kappa(
-            x,
-            model.Z[0],
+            xs,
+            zs,
             kmat["K_inv"][0],
-            jnp.ravel(model.kernel.lengthscale)[0],
+            ls,
             jnp.ravel(model.kernel.variance)[0],
             jitter(x.dtype),
             kind=kind,
@@ -228,11 +238,12 @@ def latent_moments(model, state: TrainState, x, kmat):
             if kind is not None:
                 from ..ops import pallas_kernels as pk
 
+                xs, zs, ls = _fused_scaled_inputs(model, x)
                 kappa1, Ktilde1 = pk.fused_kappa(
-                    x,
-                    model.Z[0],
+                    xs,
+                    zs,
                     kmat["K_inv"][0],
-                    jnp.ravel(model.kernel.lengthscale)[0],
+                    ls,
                     jnp.ravel(model.kernel.variance)[0],
                     jitter(x.dtype),
                     kind=kind,
@@ -302,14 +313,15 @@ def variational_update(model, state: TrainState, x, y) -> Tuple[Any, TrainState]
         kind, lik_name, p0, p1, c_key = fused
         rho = state.rho
         bf16 = os.environ.get("AGP_TPU_BF16") == "1"
+        xs, zs, ls = _fused_scaled_inputs(model, x)
         s1, S2, c, theta = pk.fused_cavi_stats(
-            x,
+            xs,
             y,
-            model.Z[0],
+            zs,
             kmat["K_inv"][0],
             state.mu[0],
             state.Sigma[0],
-            jnp.ravel(model.kernel.lengthscale)[0],
+            ls,
             jnp.ravel(model.kernel.variance)[0],
             jitter(x.dtype),
             rho,

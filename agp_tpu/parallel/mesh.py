@@ -165,6 +165,7 @@ def sharded_fused_svi_step(mesh: Mesh, model_template, batch_per_device: int, ax
 
     from ..config import jitter as _jitter
     from ..inference.analytic_vi import (
+        _fused_scaled_inputs,
         _nat_update_from_stats,
         _pallas_fused_spec,
         pallas_override,
@@ -190,14 +191,15 @@ def sharded_fused_svi_step(mesh: Mesh, model_template, batch_per_device: int, ax
         y_b = jnp.take(ys, idx, axis=0)
         with pallas_override("on"):
             _, _, p0, p1, _ = _pallas_fused_spec(model)  # traced lik params
+        xs_b, zs, ls = _fused_scaled_inputs(model, x_b)
         s1, S2, c, theta = pk.fused_cavi_stats(
-            x_b,
+            xs_b,
             y_b,
-            model.Z[0],
+            zs,
             state.kmat["K_inv"][0],
             state.mu[0],
             state.Sigma[0],
-            jnp.ravel(model.kernel.lengthscale)[0],
+            ls,
             jnp.ravel(model.kernel.variance)[0],
             _jitter(x_b.dtype),
             state.rho,

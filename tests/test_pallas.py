@@ -313,3 +313,62 @@ def test_hyper_gradients_through_fused_kappa(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g_pallas.variance), np.asarray(g_xla.variance), rtol=5e-3
     )
+
+
+def test_fused_production_step_ard_matches_xla(monkeypatch):
+    """ARD (per-dim) lengthscales fold into the kernel inputs (x/ls, Z/ls
+    with ls=1 in-kernel): the fused path must match XLA end-to-end and ARD
+    hyper-gradients must flow through the scaling op + custom VJP."""
+    import agp_tpu as agp
+    from agp_tpu.inference import analytic_vi
+    from agp_tpu.inference.analytic_vi import _pallas_fused_spec, variational_update
+    from agp_tpu.inference.objective import objective
+    from agp_tpu.training.train import init_state
+
+    B, D = 300, 8
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (B, D), dtype=jnp.float64)
+    y = np.where(np.asarray(jnp.sin(X[:, 0])) > 0, 1.0, -1.0)
+    ard = jnp.array([1.3, 0.8, 1.1, 0.9, 1.0, 1.2, 0.7, 1.4], dtype=jnp.float64)
+    model = agp.SVGP.create(
+        agp.SqExponentialKernel(lengthscale=ard),
+        agp.LogisticLikelihood.create(),
+        agp.AnalyticVI(),
+        Z=X[:64],
+        optimiser=None,
+    )
+    y2, lik2 = model.likelihood.treat_labels(y)
+    model = model.replace(likelihood=lik2)
+    y2 = jnp.asarray(y2, X.dtype)
+    state0 = init_state(model, X, y2)
+
+    monkeypatch.setenv("AGP_TPU_PALLAS", "1")
+    assert _pallas_fused_spec(model) is not None  # ARD no longer excluded
+    monkeypatch.delenv("AGP_TPU_PALLAS", raising=False)
+
+    m_x, s_x = variational_update(model, state0, X, y2)
+    m_x, s_x = variational_update(m_x, s_x, X, y2)
+
+    monkeypatch.setenv("AGP_TPU_PALLAS", "1")
+    vu = jax.jit(variational_update)
+    with pltpu.force_tpu_interpret_mode():
+        m_p, s_p = jax.block_until_ready(vu(model, state0, X, y2))
+        m_p, s_p = jax.block_until_ready(vu(m_p, s_p, X, y2))
+    np.testing.assert_allclose(np.asarray(s_p.mu), np.asarray(s_x.mu), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_p.Sigma), np.asarray(s_x.Sigma), rtol=1e-3, atol=1e-5
+    )
+
+    # per-dim hyper-gradients through the fused kappa path
+    def neg_elbo(log_ls):
+        m2 = model.replace(kernel=model.kernel.replace(lengthscale=jnp.exp(log_ls)))
+        kmat = analytic_vi.compute_kmat(m2, X)
+        return -objective(m2, s_x, X, y2, kmat=kmat)
+
+    log_ls = jnp.log(model.kernel.lengthscale)
+    monkeypatch.delenv("AGP_TPU_PALLAS", raising=False)
+    g_xla = jax.grad(neg_elbo)(log_ls)
+    monkeypatch.setenv("AGP_TPU_PALLAS", "1")
+    with pltpu.force_tpu_interpret_mode():
+        g_p = jax.block_until_ready(jax.jit(jax.grad(neg_elbo))(log_ls))
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_xla), rtol=5e-3, atol=1e-6)
