@@ -402,7 +402,7 @@ def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> Train
     eta1 = gmu + Kinv_mu0
     eta2 = linalg.symmetrize(-(jax.vmap(jnp.diag)(gs) + 0.5 * K_inv))
     return state.replace(
-        eta1=eta1, eta2=eta2, **_moments_kw(model, eta1, eta2)
+        eta1=eta1, eta2=eta2, **_moments_kw(model, eta1, eta2, state.Sigma)
     )
 
 
@@ -434,16 +434,44 @@ def _nat_update_from_stats(model, state: TrainState, s1, stat2, x) -> TrainState
     else:
         eta1 = nat1_target
         eta2 = linalg.symmetrize(nat2_target)
-    return state.replace(eta1=eta1, eta2=eta2, **_moments_kw(model, eta1, eta2))
+    return state.replace(
+        eta1=eta1, eta2=eta2, **_moments_kw(model, eta1, eta2, state.Sigma)
+    )
 
 
-def _moments_kw(model, eta1, eta2):
+def _fast_moments_enabled() -> bool:
+    """Warm-started Newton-Schulz eta->moments conversion
+    (ops/linalg.py::nat_to_moments_warm): matmul-only on the MXU instead of
+    the sequential small-M Cholesky.  Default ON for TPU backends (measured
+    1.45x on the flagship M=64 CAVI step, v5e; exact to f32 roundoff with a
+    Cholesky fallback when the warm start is far).  AGP_TPU_FAST_MOMENTS=0
+    forces the exact path, =1 forces the fast path (e.g. on CPU)."""
+    import os
+
+    flag = os.environ.get("AGP_TPU_FAST_MOMENTS")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    from ..ops import pallas_kernels as pk
+
+    return pk.available()
+
+
+def _moments_kw(model, eta1, eta2, Sigma_prev=None):
+    fast = Sigma_prev is not None and _fast_moments_enabled()
     if model.n_latent == 1:
         # unbatched 64x64 Cholesky/solves: batch-1 vmapped linalg lowers
         # poorly on TPU
-        mu1, Sigma1 = linalg.nat_to_moments(eta1[0], eta2[0])
+        if fast:
+            mu1, Sigma1 = linalg.nat_to_moments_warm(eta1[0], eta2[0], Sigma_prev[0])
+        else:
+            mu1, Sigma1 = linalg.nat_to_moments(eta1[0], eta2[0])
         return dict(mu=mu1[None], Sigma=Sigma1[None])
-    mu, Sigma = jax.vmap(linalg.nat_to_moments)(eta1, eta2)
+    if fast:
+        mu, Sigma = linalg.nat_to_moments_warm_batched(eta1, eta2, Sigma_prev)
+    else:
+        mu, Sigma = jax.vmap(linalg.nat_to_moments)(eta1, eta2)
     return dict(mu=mu, Sigma=Sigma)
 
 

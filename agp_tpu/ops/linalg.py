@@ -122,6 +122,94 @@ def nat_to_moments(eta1: jnp.ndarray, eta2: jnp.ndarray):
     return mu, Sigma
 
 
+def nat_to_moments_warm(
+    eta1: jnp.ndarray,
+    eta2: jnp.ndarray,
+    Sigma_prev: jnp.ndarray,
+    schulz_iters: int = 5,
+    rho_max: float = 0.6,
+):
+    """Matmul-only (MXU-friendly) variant of :func:`nat_to_moments` for the
+    inner CAVI loop.
+
+    Sigma = A^-1 with A = -2 eta2 is computed by Newton-Schulz iteration
+    X <- X (2I - A X), warm-started at the previous iteration's Sigma.  The
+    natural parameters move by O(learning-rate) per CAVI step, so the warm
+    start is close and the quadratic iteration converges in a few steps:
+    residual after k steps is rho0^(2^k) with rho0 = ||I - A Sigma_prev||_F.
+    When the warm start is too far (rho0 > rho_max -- early iterations,
+    post-hyperparameter jumps), fall back to the exact Cholesky path inside
+    a lax.cond.  With rho_max = 0.6 and 5 iterations the Schulz branch is
+    exact to ~1e-7 relative (0.6^32), below f32 roundoff of the product.
+
+    Rationale: on TPU the small-M Cholesky + two triangular solves are
+    sequential vector-unit work (the dominant cost of an M=64 CAVI step),
+    while 2 matmuls/iteration of [M, M] run on the MXU.
+    """
+    M = eta1.shape[-1]
+    I = jnp.eye(M, dtype=eta1.dtype)
+    A = -2.0 * symmetrize(eta2)
+    R0 = I - A @ Sigma_prev
+    rho0 = jnp.sqrt(jnp.sum(R0 * R0))
+
+    def schulz(_):
+        def body(X, _):
+            return X @ (2.0 * I - A @ X), None
+
+        X, _ = jax.lax.scan(body, Sigma_prev, None, length=schulz_iters)
+        return symmetrize(X)
+
+    def chol(_):
+        L = jnp.linalg.cholesky(0.5 * A)
+        return symmetrize(0.5 * chol_solve(L, I))
+
+    Sigma = jax.lax.cond(rho0 < rho_max, schulz, chol, None)
+    return Sigma @ eta1, Sigma
+
+
+def nat_to_moments_warm_batched(
+    eta1: jnp.ndarray,
+    eta2: jnp.ndarray,
+    Sigma_prev: jnp.ndarray,
+    schulz_iters: int = 5,
+    rho_max: float = 0.6,
+):
+    """[L, ...] batched :func:`nat_to_moments_warm`.
+
+    The Schulz-vs-Cholesky decision is one SHARED predicate (worst residual
+    over the latent axis): a vmapped `lax.cond` would lower to a select that
+    executes BOTH branches for every latent, costing more than the Cholesky
+    alone.  One early latent falling back sends the whole stack down the
+    exact path -- correct either way, and the warm start is good for all
+    latents within a few iterations."""
+    M = eta1.shape[-1]
+    I = jnp.eye(M, dtype=eta1.dtype)
+    A = -2.0 * symmetrize(eta2)
+    R0 = I - jnp.einsum("lmn,lnk->lmk", A, Sigma_prev, preferred_element_type=A.dtype)
+    rho0 = jnp.max(jnp.sqrt(jnp.sum(R0 * R0, axis=(-2, -1))))
+
+    def schulz(_):
+        def body(X, _):
+            AX = jnp.einsum("lmn,lnk->lmk", A, X, preferred_element_type=A.dtype)
+            return jnp.einsum(
+                "lmn,lnk->lmk", X, 2.0 * I - AX, preferred_element_type=A.dtype
+            ), None
+
+        X, _ = jax.lax.scan(body, Sigma_prev, None, length=schulz_iters)
+        return symmetrize(X)
+
+    def chol(_):
+        def one(a):
+            L = jnp.linalg.cholesky(0.5 * a)
+            return symmetrize(0.5 * chol_solve(L, I))
+
+        return jax.vmap(one)(A)
+
+    Sigma = jax.lax.cond(rho0 < rho_max, schulz, chol, None)
+    mu = jnp.einsum("lmn,ln->lm", Sigma, eta1)
+    return mu, Sigma
+
+
 def moments_to_nat(mu: jnp.ndarray, Sigma: jnp.ndarray):
     """Inverse of :func:`nat_to_moments`: eta1 = Sigma^-1 mu, eta2 = -1/2 Sigma^-1."""
     L = jnp.linalg.cholesky(symmetrize(Sigma))

@@ -244,3 +244,71 @@ def test_greedy_variance_inducing():
         return float(np.sqrt(d.min()))
 
     assert minpd(np.asarray(Z)) > 2.0 * minpd(X[:16])
+
+
+def test_nat_to_moments_warm_matches_exact():
+    """Newton-Schulz warm conversion: close warm start -> Schulz branch
+    agrees with Cholesky to roundoff; far warm start -> falls back to the
+    exact path inside the lax.cond. Batched variant ditto (shared
+    predicate)."""
+    from agp_tpu.ops import linalg
+
+    M, L = 48, 3
+    key = jax.random.PRNGKey(0)
+    A = jax.random.normal(key, (L, M, M), dtype=jnp.float64)
+    P = jnp.einsum("lmn,lkn->lmk", A, A) / M + jnp.eye(M)
+    eta2 = -0.5 * P
+    eta1 = jax.random.normal(jax.random.PRNGKey(1), (L, M), dtype=jnp.float64)
+
+    mu_e, S_e = jax.vmap(linalg.nat_to_moments)(eta1, eta2)
+
+    # single-latent: close and far warm starts
+    mu_w, S_w = linalg.nat_to_moments_warm(eta1[0], eta2[0], S_e[0] * (1 + 1e-3))
+    np.testing.assert_allclose(np.asarray(S_w), np.asarray(S_e[0]), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(mu_w), np.asarray(mu_e[0]), rtol=1e-9)
+    mu_f, S_f = linalg.nat_to_moments_warm(eta1[0], eta2[0], 50.0 * jnp.eye(M))
+    np.testing.assert_allclose(np.asarray(S_f), np.asarray(S_e[0]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_e[0]), rtol=1e-12)
+
+    # batched: close and far (far on ONE latent must send all down Cholesky)
+    mu_b, S_b = linalg.nat_to_moments_warm_batched(eta1, eta2, S_e * (1 + 1e-3))
+    np.testing.assert_allclose(np.asarray(S_b), np.asarray(S_e), rtol=1e-9)
+    far = S_e.at[1].set(50.0 * jnp.eye(M))
+    mu_c, S_c = linalg.nat_to_moments_warm_batched(eta1, eta2, far)
+    np.testing.assert_allclose(np.asarray(S_c), np.asarray(S_e), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_e), rtol=1e-12)
+
+
+def test_fast_moments_step_parity(monkeypatch):
+    """AGP_TPU_FAST_MOMENTS=1 CAVI steps match the exact path.  The gate is
+    read at trace time, so compare EAGER variational_update calls (each
+    eager call re-evaluates the Python gate; a cached jit would not)."""
+    import agp_tpu as agp
+    from agp_tpu.inference.analytic_vi import variational_update
+    from agp_tpu.training.train import init_state
+
+    X = jax.random.uniform(jax.random.PRNGKey(2), (400, 2), dtype=jnp.float64) * 4 - 2
+    y = np.asarray(jnp.where(jnp.sin(2 * X[:, 0]) > 0, 1.0, -1.0))
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+        agp.AnalyticVI(), Z=X[:32], optimiser=None,
+    )
+    y2, lik = m.likelihood.treat_labels(y)
+    m = m.replace(likelihood=lik)
+    y2 = jnp.asarray(y2, X.dtype)
+    state0 = init_state(m, X, y2)
+
+    def steps(n):
+        mm, ss = m, state0
+        for _ in range(n):
+            mm, ss = variational_update(mm, ss, X, y2)
+        return ss
+
+    monkeypatch.setenv("AGP_TPU_FAST_MOMENTS", "0")
+    s_exact = steps(8)
+    monkeypatch.setenv("AGP_TPU_FAST_MOMENTS", "1")
+    s_fast = steps(8)
+    np.testing.assert_allclose(np.asarray(s_fast.mu), np.asarray(s_exact.mu), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(s_fast.Sigma), np.asarray(s_exact.Sigma), atol=1e-8
+    )
