@@ -222,7 +222,15 @@ def online_variational_update(model: OnlineSVGP, state, x, y):
         jnp.broadcast_to(-0.5 * jnp.eye(model.capacity, dtype=eta2.dtype), eta2.shape),
         eta2,
     )
-    mu, Sigma = jax.vmap(linalg.nat_to_moments)(eta1, eta2)
+    from ..inference.analytic_vi import _fast_moments_enabled
+
+    if _fast_moments_enabled():
+        # warm-started Newton-Schulz (see ops/linalg.py); after a Z update
+        # the natural params jump and the residual guard falls back to the
+        # exact Cholesky path automatically.
+        mu, Sigma = linalg.nat_to_moments_warm_batched(eta1, eta2, state.Sigma)
+    else:
+        mu, Sigma = jax.vmap(linalg.nat_to_moments)(eta1, eta2)
     return model, state.replace(
         eta1=eta1, eta2=eta2, mu=mu, Sigma=Sigma, local_vars=local
     )
