@@ -82,37 +82,48 @@ def pallas_override(mode: str | None):
         _PALLAS_OVERRIDE.pop()
 
 
-def _pallas_enabled(model) -> bool:
-    """Shape-aware gate for the fused Pallas tier.
-
-    Measured on TPU v5e (benchmarks/pallas_vs_xla.py, PALLAS_BENCH.json):
-    the fused one-HBM-pass kernels win in the large-M regime -- stats 1.45x
-    and kappa 1.8x at M=512/B=65536, 1.5x at M=256 -- while at M=64 the XLA
-    einsum pipeline is equal or better (its fusion already keeps Knm in
-    registers at small M).  Auto policy: on for M >= 256.  Env override:
-    AGP_TPU_PALLAS=1 forces on, =0 forces off."""
+def _pallas_forced() -> str | None:
+    """"on"/"off" when the tier is forced (override context or env),
+    None in auto mode."""
     import os
 
     if _PALLAS_OVERRIDE[-1] is not None:
-        return _PALLAS_OVERRIDE[-1] == "on"
+        return _PALLAS_OVERRIDE[-1]
     flag = os.environ.get("AGP_TPU_PALLAS")
     if flag == "0":
-        return False
+        return "off"
     if flag == "1":
         # forced on: TPU, or CPU under pltpu.force_tpu_interpret_mode()
         # (how the CPU test suite exercises the fused production path)
-        return True
+        return "on"
+    return None
+
+
+def _pallas_enabled(model) -> bool:
+    """Backend gate for the fused Pallas tier; each tier applies its own
+    measured shape policy on top (see _pallas_kind / _pallas_kind_batched).
+    Env override: AGP_TPU_PALLAS=1 forces on, =0 forces off."""
+    forced = _pallas_forced()
+    if forced is not None:
+        return forced == "on"
     from ..ops import pallas_kernels as pk
 
-    return pk.available() and getattr(model, "n_inducing", 0) >= 256
+    return pk.available()
 
 
 def _pallas_kind(model):
-    """Fused-kernel kind when the Pallas path applies: TPU backend, single
-    latent GP, stationary kernel, winning shape (see `_pallas_enabled`).
-    ARD lengthscales are supported: per-dim scales fold into the inputs
-    (`_fused_scaled_inputs`), so the kernel always sees an isotropic ls."""
+    """Fused-kernel kind when the single-latent Pallas path applies: TPU
+    backend, stationary kernel, winning shape.  ARD lengthscales fold into
+    the inputs (`_fused_scaled_inputs`), so the kernel always sees an
+    isotropic ls.
+
+    Shape policy (v5e end-to-end sweeps with the Newton-Schulz moments
+    conversion in place, RESULTS.md): XLA wins up through M=256 (1.14-1.6x);
+    the fused one-HBM-pass kernels win 1.6x at M=512/B=65536.  Auto: on for
+    M >= 512."""
     if not _pallas_enabled(model) or model.n_latent != 1:
+        return None
+    if _pallas_forced() != "on" and getattr(model, "n_inducing", 0) < 512:
         return None
     return _PALLAS_KINDS.get(type(model.kernel).__name__)
 
@@ -136,17 +147,16 @@ def _pallas_kind_batched(model):
     grid dimension (ops/pallas_kernels.py::fused_kappa_moments_batched /
     cavi_stats_batched).
 
-    Measured v5e win region (K=10 logistic-softmax, RESULTS.md): 1.30x at
-    M=512/B=8192, 1.36x at M=256/B=32768, a wash (0.97x) at M=256/B=8192 --
-    so in auto mode the batched tier additionally requires M >= 512 or a
-    large batch on top of the single-latent tier's M >= 256 gate."""
-    import os
-
+    Measured v5e win region (K=10 logistic-softmax, RESULTS.md; re-confirmed
+    with the Newton-Schulz moments conversion in place): 1.30x at
+    M=512/B=8192, 1.36-1.42x at M=256/B=32768, a wash (0.97x) at
+    M=256/B=8192 -- so in auto mode the batched tier requires M >= 512 or a
+    large batch."""
     if not _pallas_enabled(model) or model.n_latent <= 1:
         return None
     if not model.is_sparse or getattr(model, "is_online", False):
         return None
-    if os.environ.get("AGP_TPU_PALLAS") != "1":
+    if _pallas_forced() != "on":
         bs = getattr(model.inference, "batchsize", None)
         if getattr(model, "n_inducing", 0) < 512 and (bs is not None and bs < 16384):
             return None

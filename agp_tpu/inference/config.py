@@ -125,12 +125,17 @@ def MCIntegrationSVI(batchsize: int, n_mc: int = 200, optimiser=None, **kw) -> M
 @dataclasses.dataclass(frozen=True)
 class GibbsSampling(InferenceConfig):
     """Blocked Gibbs sampling over (omega, f)
-    (reference: inference/gibbssampling.jl)."""
+    (reference: inference/gibbssampling.jl).
+
+    solver: global-resample algorithm -- "chol" (exact O(N^3) Cholesky,
+    the reference's), "cg" (matmul-only whitened perturb-and-solve CG;
+    exact up to 1e-6 solver tolerance), "auto" (cg on TPU for N >= 1024)."""
 
     stochastic: bool = False
     batchsize: int = 0
     n_burnin: int = 100
     thinning: int = 1
+    solver: str = "auto"
 
     @property
     def name(self):

@@ -641,3 +641,37 @@ def test_online_svgp_classification(cls_data):
         )
     pred = agp.predict_y(model, state, X)
     assert float(jnp.mean(pred != jnp.asarray(y))) < 0.4
+
+
+def test_gibbs_cg_solver_matches_exact_posterior():
+    """The matmul-only whitened perturb-and-solve (CG) global resample is an
+    exact sampler: with a Gaussian likelihood the Gibbs posterior has a
+    closed form, and the CG chain must match it as tightly as the Cholesky
+    chain does."""
+    from agp_tpu.models.mcgp import MCGP, sample
+
+    N = 80
+    X = jnp.linspace(-3, 3, N, dtype=jnp.float64)[:, None]
+    f_true = jnp.sin(1.5 * X[:, 0])
+    y = np.asarray(
+        f_true + 0.1 * jax.random.normal(jax.random.PRNGKey(0), (N,), dtype=jnp.float64)
+    )
+    kern = agp.SqExponentialKernel(lengthscale=jnp.asarray(0.7))
+    sig2 = 0.01
+    K = kern.gram(X, X) + 1e-8 * jnp.eye(N)
+    Sig = jnp.linalg.inv(jnp.linalg.inv(K) + jnp.eye(N) / sig2)
+    mu_exact = Sig @ (jnp.asarray(y) / sig2)
+    var_exact = jnp.diag(Sig)
+
+    m = MCGP.create(
+        X, y, kern, agp.GaussianLikelihood.create(sig2, opt_noise=False),
+        agp.GibbsSampling(n_burnin=200, thinning=2, solver="cg"),
+    )
+    out = sample(m, 600, key=jax.random.PRNGKey(1))
+    samples = out[0] if isinstance(out, tuple) else out
+    post_mean = jnp.mean(samples, axis=0)[0]
+    post_var = jnp.var(samples, axis=0)[0]
+    assert float(jnp.corrcoef(post_mean, mu_exact)[0, 1]) > 0.999
+    assert float(jnp.max(jnp.abs(post_mean - mu_exact))) < 0.05
+    med_rel = float(jnp.median(jnp.abs(post_var - var_exact) / var_exact))
+    assert med_rel < 0.2
