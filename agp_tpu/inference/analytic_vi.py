@@ -449,13 +449,16 @@ def _nat_update_from_stats(model, state: TrainState, s1, stat2, x) -> TrainState
     )
 
 
-def _fast_moments_enabled() -> bool:
+def _fast_moments_enabled(dim: int | None = None) -> bool:
     """Warm-started Newton-Schulz eta->moments conversion
     (ops/linalg.py::nat_to_moments_warm): matmul-only on the MXU instead of
-    the sequential small-M Cholesky.  Default ON for TPU backends (measured
-    1.45x on the flagship M=64 CAVI step, v5e; exact to f32 roundoff with a
-    Cholesky fallback when the warm start is far).  AGP_TPU_FAST_MOMENTS=0
-    forces the exact path, =1 forces the fast path (e.g. on CPU)."""
+    the sequential small-M Cholesky.  Default ON for TPU backends when the
+    matrix dim is small (measured v5e: 1.45x at M=64 flagship, 4.1x on
+    batched [10,64,64] multiclass, ~neutral at M=512, 0.88x at N=2048 dense
+    where Schulz's ~10 N^3 FLOPs exceed the ~2.4 N^3 of chol+solve) -- it
+    is a small-matrix LATENCY win, so the auto gate requires dim <= 512.
+    Exact to f32 roundoff with a Cholesky fallback when the warm start is
+    far.  AGP_TPU_FAST_MOMENTS=0 forces the exact path, =1 forces fast."""
     import os
 
     flag = os.environ.get("AGP_TPU_FAST_MOMENTS")
@@ -465,11 +468,11 @@ def _fast_moments_enabled() -> bool:
         return True
     from ..ops import pallas_kernels as pk
 
-    return pk.available()
+    return pk.available() and (dim is None or dim <= 512)
 
 
 def _moments_kw(model, eta1, eta2, Sigma_prev=None):
-    fast = Sigma_prev is not None and _fast_moments_enabled()
+    fast = Sigma_prev is not None and _fast_moments_enabled(eta1.shape[-1])
     if model.n_latent == 1:
         # unbatched 64x64 Cholesky/solves: batch-1 vmapped linalg lowers
         # poorly on TPU

@@ -224,7 +224,7 @@ def online_variational_update(model: OnlineSVGP, state, x, y):
     )
     from ..inference.analytic_vi import _fast_moments_enabled
 
-    if _fast_moments_enabled():
+    if _fast_moments_enabled(eta1.shape[-1]):
         # warm-started Newton-Schulz (see ops/linalg.py); after a Z update
         # the natural params jump and the residual guard falls back to the
         # exact Cholesky path automatically.
