@@ -121,7 +121,6 @@ def sharded_svi_step(mesh: Mesh, batch_per_device: int, axis_name: str = "data")
         dev = jax.lax.axis_index(axis_name)
         k = jax.random.fold_in(key, dev)
         idx = jax.random.randint(k, (batch_per_device,), 0, xs.shape[0])
-        idx = jnp.sort(idx)  # permutation-invariant stats; cheaper gather
         return jnp.take(xs, idx, axis=0), jnp.take(ys, idx, axis=0)
 
     draw_sharded = jax.shard_map(
@@ -187,7 +186,7 @@ def sharded_fused_svi_step(mesh: Mesh, model_template, batch_per_device: int, ax
     def local_stats(model, state, xs, ys, key):
         dev = jax.lax.axis_index(axis_name)
         k = jax.random.fold_in(key, dev)
-        idx = jnp.sort(jax.random.randint(k, (batch_per_device,), 0, xs.shape[0]))
+        idx = jax.random.randint(k, (batch_per_device,), 0, xs.shape[0])
         x_b = jnp.take(xs, idx, axis=0)
         y_b = jnp.take(ys, idx, axis=0)
         with pallas_override("on"):
