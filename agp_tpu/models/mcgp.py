@@ -106,6 +106,7 @@ def sample(model: MCGP, n_samples: int, key=None, n_chains: int = 1):
     return kept[0] if n_chains == 1 else kept
 
 
+@jax.jit
 def predict_f_samples(model: MCGP, samples, X_test):
     """Push posterior samples through the predictive mean map
     k* K^-1 f (reference: predictions.jl:120-130).
@@ -119,6 +120,7 @@ def predict_f_samples(model: MCGP, samples, X_test):
     return jnp.einsum("lnm,slm->sln", proj, samples)
 
 
+@jax.jit
 def proba_y_mc(model: MCGP, samples, X_test, key=None):
     """Monte-Carlo predictive: mean/var of the link pushed through samples
     (reference: predictions.jl proba_y for MCGP)."""

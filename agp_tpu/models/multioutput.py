@@ -213,12 +213,13 @@ def mo_elbo(model, state, x, ys, kmat=None):
     return tot - jnp.sum(kl)
 
 
+@jax.jit
 def mo_predict_f(model, state, X_test, diag=True):
     """Task-space predictive moments: mix the latent predictive through A
     (reference: predictions.jl:52-92). Returns ([R, n] mu, [R, n] var)."""
     from ..training.predictions import _predict_f_var
 
-    mu_q, var_q = _predict_f_var(model, state, X_test, diag=True)
+    mu_q, var_q = _predict_f_var(model, state, as_2d(X_test), diag=True)
     return mo_mean_var_f(model, mu_q, var_q)
 
 
@@ -412,6 +413,7 @@ class MOVGP(MOSVGP):
         )
 
 
+@jax.jit
 def mo_proba_y(model, state, X_test):
     """Per-task predictive distributions (reference: proba_multi_y,
     predictions.jl:231-253)."""
@@ -425,6 +427,7 @@ def mo_proba_y(model, state, X_test):
     return tuple(out)
 
 
+@jax.jit
 def mo_predict_y(model, state, X_test):
     """Per-task label predictions."""
     mu_r, _ = mo_predict_f(model, state, X_test)

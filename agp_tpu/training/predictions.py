@@ -10,6 +10,8 @@ Gauss-Hermite quadrature in `proba_y` (predictions.jl:4, compute_proba).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +21,7 @@ from ..models.gp import GP
 from ..ops import linalg
 
 
+@partial(jax.jit, static_argnames=("diag", "full_cov"))
 def _predict_f_var(model, state, X_test, diag: bool = True, full_cov: bool = False):
     """Latent predictive mean/variance for variational models, [L, n]."""
     Z = model.Z  # [L, M, D] (train inputs for full models)
@@ -51,6 +54,7 @@ def _predict_f_var(model, state, X_test, diag: bool = True, full_cov: bool = Fal
     return mu_f, jnp.maximum(var_f, 0.0)
 
 
+@partial(jax.jit, static_argnames=("diag",))
 def _predict_f_gp(model: GP, state, X_test, diag=True):
     k_star = batch_gram(model.kernel, X_test, model.train_x)[0]  # [n, N]
     mu_f = k_star @ state.alpha
@@ -86,11 +90,8 @@ def predict_f(model, state, X_test, cov: bool = False, diag: bool = True):
     return (mu_f, var_f) if cov else mu_f
 
 
-def predict_y(model, state, X_test):
-    """Label-space point prediction (reference: predictions.jl predict_y)."""
-    from ..models.base import as_2d
-
-    X_test = as_2d(jnp.asarray(X_test))
+@jax.jit
+def _predict_y_core(model, state, X_test):
     if isinstance(model, GP):
         mu_f, _ = _predict_f_gp(model, state, X_test)
         return model.likelihood.predict_y(mu_f[0])
@@ -100,11 +101,19 @@ def predict_y(model, state, X_test):
     return model.likelihood.predict_y(mu_f)
 
 
-def proba_y(model, state, X_test, key=None, **kwargs):
-    """Predictive distribution of y (reference: predictions.jl proba_y)."""
+def predict_y(model, state, X_test):
+    """Label-space point prediction (reference: predictions.jl predict_y).
+
+    The whole path (k*, posterior push-through, likelihood link) runs as one
+    jitted program -- on the TPU tunnel the eager version was dispatch-bound.
+    """
     from ..models.base import as_2d
 
-    X_test = as_2d(jnp.asarray(X_test))
+    return _predict_y_core(model, state, as_2d(jnp.asarray(X_test)))
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def _proba_y_core(model, state, X_test, key, n_samples):
     if isinstance(model, GP):
         mu_f, var_f = _predict_f_gp(model, state, X_test)
         return model.likelihood.compute_proba(mu_f[0], var_f[0])
@@ -115,10 +124,23 @@ def proba_y(model, state, X_test, key=None, **kwargs):
     from ..likelihoods.multiclass import MultiClassLikelihood
 
     if isinstance(lik, MultiClassLikelihood):
-        if key is None:
-            key = jax.random.PRNGKey(42)
-        return lik.compute_proba(mu_f, var_f, key=key, **kwargs)
+        return lik.compute_proba(mu_f, var_f, n_samples=n_samples, key=key)
     return lik.compute_proba(mu_f, var_f)
+
+
+def proba_y(model, state, X_test, key=None, n_samples: int = 200):
+    """Predictive distribution of y (reference: predictions.jl proba_y).
+
+    One jitted program end-to-end; `n_samples` only affects multiclass
+    likelihoods (MC latent integration; 0 = plug-in means).
+    """
+    from ..models.base import as_2d
+
+    if key is None:
+        key = jax.random.PRNGKey(42)
+    return _proba_y_core(
+        model, state, as_2d(jnp.asarray(X_test)), key, n_samples=n_samples
+    )
 
 
 def sample_f(model, state, X_test, n_samples: int = 1, key=None):
@@ -129,7 +151,13 @@ def sample_f(model, state, X_test, n_samples: int = 1, key=None):
     from ..models.base import as_2d
 
     key = jax.random.PRNGKey(0) if key is None else key
-    X_test = as_2d(jnp.asarray(X_test))
+    return _sample_f_core(
+        model, state, as_2d(jnp.asarray(X_test)), key, n_samples=n_samples
+    )
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def _sample_f_core(model, state, X_test, key, n_samples):
     if isinstance(model, GP):
         mu_f, cov = _predict_f_gp(model, state, X_test, diag=False)
     else:
