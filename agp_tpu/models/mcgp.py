@@ -121,8 +121,9 @@ def predict_f_samples(model: MCGP, samples, X_test):
 
 
 @jax.jit
-def proba_y_mc(model: MCGP, samples, X_test, key=None):
-    """Monte-Carlo predictive: mean/var of the link pushed through samples
+def proba_y_mc(model: MCGP, samples, X_test):
+    """Monte-Carlo predictive: mean/var of the link pushed through the
+    posterior samples themselves -- deterministic given `samples`
     (reference: predictions.jl proba_y for MCGP)."""
     f_pred = predict_f_samples(model, samples, X_test)  # [S, L, n]
     lik = model.likelihood

@@ -13,6 +13,7 @@ Python tuple -- static structure, separate local-vars pytrees).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax
@@ -213,14 +214,25 @@ def mo_elbo(model, state, x, ys, kmat=None):
     return tot - jnp.sum(kl)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("diag",))
 def mo_predict_f(model, state, X_test, diag=True):
     """Task-space predictive moments: mix the latent predictive through A
-    (reference: predictions.jl:52-92). Returns ([R, n] mu, [R, n] var)."""
+    (reference: predictions.jl:52-92).
+
+    diag=True: ([R, n] mu, [R, n] var).  diag=False: ([R, n] mu, [R, n, n]
+    task covariances; under the LMC with independent latents
+    cov_r = sum_q A_rq^2 cov_q)."""
     from ..training.predictions import _predict_f_var
 
-    mu_q, var_q = _predict_f_var(model, state, as_2d(X_test), diag=True)
-    return mo_mean_var_f(model, mu_q, var_q)
+    if diag:
+        mu_q, var_q = _predict_f_var(model, state, as_2d(X_test), diag=True)
+        return mo_mean_var_f(model, mu_q, var_q)
+    mu_q, cov_q = _predict_f_var(
+        model, state, as_2d(X_test), diag=False, full_cov=True
+    )
+    mu_f = jnp.einsum("rq,qb->rb", model.A, mu_q)
+    cov_f = jnp.einsum("rq,qnp->rnp", model.A**2, cov_q)
+    return mu_f, cov_f
 
 
 def mo_init_state(model, X, ys, key=None):

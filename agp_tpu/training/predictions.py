@@ -134,9 +134,12 @@ def proba_y(model, state, X_test, key=None, n_samples: int = 200):
     One jitted program end-to-end; `n_samples` only affects multiclass
     likelihoods (MC latent integration; 0 = plug-in means).
     """
+    from ..likelihoods.multiclass import MultiClassLikelihood
     from ..models.base import as_2d
 
-    if key is None:
+    if key is None and isinstance(
+        getattr(model, "likelihood", None), MultiClassLikelihood
+    ):
         key = jax.random.PRNGKey(42)
     return _proba_y_core(
         model, state, as_2d(jnp.asarray(X_test)), key, n_samples=n_samples
