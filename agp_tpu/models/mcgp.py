@@ -6,6 +6,7 @@ Equivalent of /root/reference/src/models/MCGP.jl + training/sampling.jl.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -69,8 +70,6 @@ def sample(model: MCGP, n_samples: int, key=None, n_chains: int = 1):
     when n_chains == 1).  Chains are vmapped -- on a mesh they shard across
     devices for free.
     """
-    from ..inference.gibbs import run_chain
-
     key = jax.random.PRNGKey(0) if key is None else key
     inf = model.inference
     if inf.name == "HMCSampling":
@@ -87,6 +86,17 @@ def sample(model: MCGP, n_samples: int, key=None, n_chains: int = 1):
         from ..inference.hmc import sample_hmc
 
         return sample_hmc(model, n_samples, key=key, n_chains=n_chains)
+    keys = jax.random.split(key, n_chains)
+    kept = _gibbs_chains(model, keys, n_samples, inf.n_burnin, inf.thinning)
+    return kept[0] if n_chains == 1 else kept
+
+
+@partial(jax.jit, static_argnames=("n_samples", "n_burnin", "thinning"))
+def _gibbs_chains(model, keys, n_samples, n_burnin, thinning):
+    """All Gibbs chains as one cached jitted program (module-level so repeat
+    `sample()` calls with the same shapes don't re-trace)."""
+    from ..inference.gibbs import run_chain
+
     K = batch_gram(model.kernel, model.train_x)
     jitt = jitter(K.dtype)
     L_K = jax.vmap(lambda k: linalg.safe_cholesky(k, jitt))(K)
@@ -97,13 +107,11 @@ def sample(model: MCGP, n_samples: int, key=None, n_chains: int = 1):
 
     def chain(k):
         kept, _, _ = run_chain(
-            model, kmat, k, n_samples, inf.n_burnin, inf.thinning, local0
+            model, kmat, k, n_samples, n_burnin, thinning, local0
         )
         return kept
 
-    keys = jax.random.split(key, n_chains)
-    kept = jax.jit(jax.vmap(chain))(keys)
-    return kept[0] if n_chains == 1 else kept
+    return jax.vmap(chain)(keys)
 
 
 @jax.jit

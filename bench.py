@@ -196,6 +196,32 @@ def bench_extra():
     rows["logistic_m512_b65536"] = v
     # data throughput in the large regime
     rows["logistic_m512_b65536_pts_per_s"] = v * B
+
+    # exact augmented Gibbs (PSW Polya-Gamma draws + CG perturb-and-solve
+    # global resample), MCGP + Logistic, N=2048, 4 chains
+    import time as _time
+
+    from agp_tpu.models.mcgp import sample as mc_sample
+
+    N = 2048
+    Xg = jax.random.normal(jax.random.fold_in(key, 6), (N, 8), dtype)
+    yg = jnp.sign(Xg[:, 0] + 0.5 * Xg[:, 1])
+    mg = agp.MCGP.create(
+        Xg,
+        yg,
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(2.0, dtype)),
+        agp.LogisticLikelihood.create(),
+        agp.GibbsSampling(n_burnin=50),
+    )
+    S, C = 400, 4
+    for _ in range(2):  # compile + weak->strong warmups
+        s = mc_sample(mg, S, key=jax.random.PRNGKey(1), n_chains=C)
+    float(jnp.sum(s))
+    t0 = _time.perf_counter()
+    s = mc_sample(mg, S, key=jax.random.PRNGKey(2), n_chains=C)
+    float(jnp.sum(s))
+    dt = _time.perf_counter() - t0
+    rows["gibbs_logistic_n2048_4chains_steps_per_s"] = (S + 50) * C / dt
     return rows
 
 
