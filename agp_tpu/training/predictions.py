@@ -69,25 +69,64 @@ def _predict_f_gp(model: GP, state, X_test, diag=True):
     return mu_f[None, :], cov[None, :]
 
 
-def predict_f(model, state, X_test, cov: bool = False, diag: bool = True):
+def _chunk_map(call, X_test, chunk_size: int, axis: int):
+    """Apply `call` over [chunk_size]-row slices of X_test (last chunk
+    edge-padded so every call shares ONE compiled program) and concatenate
+    the output pytree leaves along `axis` (the test-point axis).  Bounds
+    device memory for serving-scale test sets: peak k* footprint is
+    O(chunk_size * M) instead of O(n * M)."""
+    n = X_test.shape[0]
+    outs = []
+    for s in range(0, n, chunk_size):
+        xc = X_test[s : s + chunk_size]
+        c = xc.shape[0]
+        if c < chunk_size:
+            xc = jnp.pad(xc, ((0, chunk_size - c), (0, 0)), mode="edge")
+        out = call(xc)
+        if c < chunk_size:
+            out = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, jnp.arange(c), axis=axis), out
+            )
+        outs.append(out)
+    if len(outs) == 1:
+        return outs[0]
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=axis), *outs)
+
+
+def predict_f(
+    model, state, X_test, cov: bool = False, diag: bool = True, chunk_size=None
+):
     """Latent GP predictive (reference: predictions.jl predict_f).
 
     Returns mu (and var if cov=True); leading latent axis squeezed away for
-    single-latent models.
+    single-latent models.  `chunk_size` evaluates the test set in fixed-size
+    slices (diag predictions only) so huge test sets never materialize the
+    full [n, M] cross-gram at once.
     """
     from ..models.base import as_2d
 
     X_test = as_2d(jnp.asarray(X_test))
-    if isinstance(model, GP):
-        mu_f, var_f = _predict_f_gp(model, state, X_test, diag=diag)
-    else:
-        mu_f, var_f = _predict_f_var(
-            model, state, X_test, diag=diag or cov, full_cov=cov and not diag
-        )
-    if model.n_latent == 1:
-        mu_f = mu_f[0]
-        var_f = None if var_f is None else var_f[0]
-    return (mu_f, var_f) if cov else mu_f
+
+    def call(xc):
+        if isinstance(model, GP):
+            mu_f, var_f = _predict_f_gp(model, state, xc, diag=diag)
+        else:
+            mu_f, var_f = _predict_f_var(
+                model, state, xc, diag=diag or cov, full_cov=cov and not diag
+            )
+        if model.n_latent == 1:
+            mu_f = mu_f[0]
+            var_f = None if var_f is None else var_f[0]
+        return (mu_f, var_f) if cov else mu_f
+
+    if chunk_size is not None and X_test.shape[0] > chunk_size:
+        if cov and not diag:
+            raise ValueError(
+                "chunk_size is incompatible with full-covariance prediction "
+                "(the [n, n] output couples chunks); use diag=True"
+            )
+        return _chunk_map(call, X_test, int(chunk_size), axis=-1)
+    return call(X_test)
 
 
 @jax.jit
@@ -101,15 +140,20 @@ def _predict_y_core(model, state, X_test):
     return model.likelihood.predict_y(mu_f)
 
 
-def predict_y(model, state, X_test):
+def predict_y(model, state, X_test, chunk_size=None):
     """Label-space point prediction (reference: predictions.jl predict_y).
 
     The whole path (k*, posterior push-through, likelihood link) runs as one
     jitted program -- on the TPU tunnel the eager version was dispatch-bound.
+    `chunk_size` bounds device memory on huge test sets.
     """
     from ..models.base import as_2d
 
-    return _predict_y_core(model, state, as_2d(jnp.asarray(X_test)))
+    X_test = as_2d(jnp.asarray(X_test))
+    call = lambda xc: _predict_y_core(model, state, xc)
+    if chunk_size is not None and X_test.shape[0] > chunk_size:
+        return _chunk_map(call, X_test, int(chunk_size), axis=-1)
+    return call(X_test)
 
 
 @partial(jax.jit, static_argnames=("n_samples",))
@@ -128,22 +172,28 @@ def _proba_y_core(model, state, X_test, key, n_samples):
     return lik.compute_proba(mu_f, var_f)
 
 
-def proba_y(model, state, X_test, key=None, n_samples: int = 200):
+def proba_y(model, state, X_test, key=None, n_samples: int = 200, chunk_size=None):
     """Predictive distribution of y (reference: predictions.jl proba_y).
 
     One jitted program end-to-end; `n_samples` only affects multiclass
-    likelihoods (MC latent integration; 0 = plug-in means).
+    likelihoods (MC latent integration; 0 = plug-in means).  `chunk_size`
+    bounds device memory on huge test sets.
     """
     from ..likelihoods.multiclass import MultiClassLikelihood
     from ..models.base import as_2d
 
-    if key is None and isinstance(
+    multiclass = isinstance(
         getattr(model, "likelihood", None), MultiClassLikelihood
-    ):
-        key = jax.random.PRNGKey(42)
-    return _proba_y_core(
-        model, state, as_2d(jnp.asarray(X_test)), key, n_samples=n_samples
     )
+    if key is None and multiclass:
+        key = jax.random.PRNGKey(42)
+    X_test = as_2d(jnp.asarray(X_test))
+    call = lambda xc: _proba_y_core(model, state, xc, key, n_samples=n_samples)
+    if chunk_size is not None and X_test.shape[0] > chunk_size:
+        # multiclass probabilities are [n, K] (n leads); everything else
+        # carries the test-point axis last
+        return _chunk_map(call, X_test, int(chunk_size), axis=0 if multiclass else -1)
+    return call(X_test)
 
 
 def sample_f(model, state, X_test, n_samples: int = 1, key=None):

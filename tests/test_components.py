@@ -312,3 +312,67 @@ def test_fast_moments_step_parity(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(s_fast.Sigma), np.asarray(s_exact.Sigma), atol=1e-8
     )
+
+
+def test_chunked_predictions_match_unchunked():
+    """chunk_size slicing (serving-scale memory bound) must reproduce the
+    one-shot outputs exactly, including the edge-padded last chunk, for
+    binary, multiclass ([n, K] leading-n layout) and exact-GP paths."""
+    import agp_tpu as agp
+    from agp_tpu.training.train import init_state
+
+    key = jax.random.PRNGKey(0)
+    X = jax.random.uniform(key, (97, 3), dtype=jnp.float64) * 4 - 2
+    y = np.asarray(jnp.where(jnp.sin(2 * X[:, 0]) > 0, 1.0, -1.0))
+
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+        agp.AnalyticVI(), Z=X[:16], optimiser=None,
+    )
+    y2, lik = m.likelihood.treat_labels(y)
+    m = m.replace(likelihood=lik)
+    s = init_state(m, X, jnp.asarray(y2, X.dtype))
+
+    mu = agp.predict_f(m, s, X)
+    mu_c = agp.predict_f(m, s, X, chunk_size=30)  # 97 = 3*30 + 7 (padded tail)
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu), rtol=1e-12)
+    mu2, var2 = agp.predict_f(m, s, X, cov=True)
+    mu2c, var2c = agp.predict_f(m, s, X, cov=True, chunk_size=30)
+    np.testing.assert_allclose(np.asarray(var2c), np.asarray(var2), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(agp.predict_y(m, s, X, chunk_size=30)),
+        np.asarray(agp.predict_y(m, s, X)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(agp.proba_y(m, s, X, chunk_size=30)),
+        np.asarray(agp.proba_y(m, s, X)),
+        rtol=1e-12,
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        agp.predict_f(m, s, X, cov=True, diag=False, chunk_size=30)
+
+    # multiclass: [n, K] probabilities chunk along axis 0 (same key per chunk
+    # -> deterministic MC draws, still slice-invariant with n_samples=0)
+    ym = np.asarray((X[:, 0] > 0).astype(int) + (X[:, 1] > 0).astype(int))
+    mm = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticSoftMaxLikelihood.create(3),
+        agp.AnalyticVI(), Z=X[:16], optimiser=None,
+    )
+    ym2, likm = mm.likelihood.treat_labels(ym)
+    mm = mm.replace(likelihood=likm)
+    sm = init_state(mm, X, jnp.asarray(ym2, X.dtype))
+    p = agp.proba_y(mm, sm, X, n_samples=0)
+    p_c = agp.proba_y(mm, sm, X, n_samples=0, chunk_size=40)
+    assert p.shape == (97, 3)
+    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p), rtol=1e-12)
+
+    # exact GP
+    g = agp.GP.create(X, np.asarray(jnp.sin(X[:, 0])), agp.SqExponentialKernel())
+    gm, gs = agp.train(g, X, np.asarray(jnp.sin(X[:, 0])), iterations=1)
+    np.testing.assert_allclose(
+        np.asarray(agp.predict_f(gm, gs, X, chunk_size=25)),
+        np.asarray(agp.predict_f(gm, gs, X)),
+        rtol=1e-10,
+    )
