@@ -126,8 +126,8 @@ def nat_to_moments_warm(
     eta1: jnp.ndarray,
     eta2: jnp.ndarray,
     Sigma_prev: jnp.ndarray,
-    schulz_iters: int = 5,
-    rho_max: float = 0.6,
+    schulz_iters: int = 4,
+    rho_max: float = 0.35,
 ):
     """Matmul-only (MXU-friendly) variant of :func:`nat_to_moments` for the
     inner CAVI loop.
@@ -139,8 +139,12 @@ def nat_to_moments_warm(
     residual after k steps is rho0^(2^k) with rho0 = ||I - A Sigma_prev||_F.
     When the warm start is too far (rho0 > rho_max -- early iterations,
     post-hyperparameter jumps), fall back to the exact Cholesky path inside
-    a lax.cond.  With rho_max = 0.6 and 5 iterations the Schulz branch is
-    exact to ~1e-7 relative (0.6^32), below f32 roundoff of the product.
+    a lax.cond.  With rho_max = 0.35 and 4 iterations the Schulz branch is
+    exact to ~5e-8 relative (0.35^16), below f32 roundoff of the product --
+    both tighter AND one iteration (2 matmuls) cheaper than the previous
+    (5, 0.6) setting, measured +8% on the flagship CAVI step (v5e); the
+    tighter gate just falls back to Cholesky slightly more often right
+    after hyperparameter jumps.
 
     Rationale: on TPU the small-M Cholesky + two triangular solves are
     sequential vector-unit work (the dominant cost of an M=64 CAVI step),
@@ -171,8 +175,8 @@ def nat_to_moments_warm_batched(
     eta1: jnp.ndarray,
     eta2: jnp.ndarray,
     Sigma_prev: jnp.ndarray,
-    schulz_iters: int = 5,
-    rho_max: float = 0.6,
+    schulz_iters: int = 4,
+    rho_max: float = 0.35,
 ):
     """[L, ...] batched :func:`nat_to_moments_warm`.
 
