@@ -215,13 +215,7 @@ def mo_elbo(model, state, x, ys, kmat=None):
 
 
 @partial(jax.jit, static_argnames=("diag",))
-def mo_predict_f(model, state, X_test, diag=True):
-    """Task-space predictive moments: mix the latent predictive through A
-    (reference: predictions.jl:52-92).
-
-    diag=True: ([R, n] mu, [R, n] var).  diag=False: ([R, n] mu, [R, n, n]
-    task covariances; under the LMC with independent latents
-    cov_r = sum_q A_rq^2 cov_q)."""
+def _mo_predict_f_core(model, state, X_test, diag=True):
     from ..training.predictions import _predict_f_var
 
     if diag:
@@ -233,6 +227,25 @@ def mo_predict_f(model, state, X_test, diag=True):
     mu_f = jnp.einsum("rq,qb->rb", model.A, mu_q)
     cov_f = jnp.einsum("rq,qnp->rnp", model.A**2, cov_q)
     return mu_f, cov_f
+
+
+def mo_predict_f(model, state, X_test, diag=True, chunk_size=None):
+    """Task-space predictive moments: mix the latent predictive through A
+    (reference: predictions.jl:52-92).
+
+    diag=True: ([R, n] mu, [R, n] var).  diag=False: ([R, n, n] task
+    covariances; under the LMC with independent latents
+    cov_r = sum_q A_rq^2 cov_q).  `chunk_size` bounds device memory on huge
+    test sets (diag only)."""
+    from ..training.predictions import _chunk_map
+
+    X_test = as_2d(jnp.asarray(X_test))
+    call = lambda xc: _mo_predict_f_core(model, state, xc, diag=diag)
+    if chunk_size is not None and X_test.shape[0] > chunk_size:
+        if not diag:
+            raise ValueError("chunk_size is incompatible with diag=False")
+        return _chunk_map(call, X_test, int(chunk_size), axis=-1)
+    return call(X_test)
 
 
 def mo_init_state(model, X, ys, key=None):
@@ -426,10 +439,8 @@ class MOVGP(MOSVGP):
 
 
 @jax.jit
-def mo_proba_y(model, state, X_test):
-    """Per-task predictive distributions (reference: proba_multi_y,
-    predictions.jl:231-253)."""
-    mu_r, var_r = mo_predict_f(model, state, X_test)
+def _mo_proba_y_core(model, state, X_test):
+    mu_r, var_r = _mo_predict_f_core(model, state, X_test)
     out = []
     for (lik, (s, e)) in zip(model.likelihoods, model.row_slices()):
         if lik.n_latent == 1:
@@ -439,10 +450,21 @@ def mo_proba_y(model, state, X_test):
     return tuple(out)
 
 
+def mo_proba_y(model, state, X_test, chunk_size=None):
+    """Per-task predictive distributions (reference: proba_multi_y,
+    predictions.jl:231-253)."""
+    from ..training.predictions import _chunk_map
+
+    X_test = as_2d(jnp.asarray(X_test))
+    call = lambda xc: _mo_proba_y_core(model, state, xc)
+    if chunk_size is not None and X_test.shape[0] > chunk_size:
+        return _chunk_map(call, X_test, int(chunk_size), axis=-1)
+    return call(X_test)
+
+
 @jax.jit
-def mo_predict_y(model, state, X_test):
-    """Per-task label predictions."""
-    mu_r, _ = mo_predict_f(model, state, X_test)
+def _mo_predict_y_core(model, state, X_test):
+    mu_r, _ = _mo_predict_f_core(model, state, X_test)
     out = []
     for (lik, (s, e)) in zip(model.likelihoods, model.row_slices()):
         if lik.n_latent == 1:
@@ -450,6 +472,17 @@ def mo_predict_y(model, state, X_test):
         else:
             out.append(lik.predict_y(mu_r[s:e]))
     return tuple(out)
+
+
+def mo_predict_y(model, state, X_test, chunk_size=None):
+    """Per-task label predictions."""
+    from ..training.predictions import _chunk_map
+
+    X_test = as_2d(jnp.asarray(X_test))
+    call = lambda xc: _mo_predict_y_core(model, state, xc)
+    if chunk_size is not None and X_test.shape[0] > chunk_size:
+        return _chunk_map(call, X_test, int(chunk_size), axis=-1)
+    return call(X_test)
 
 
 def _mosvgp_repr(self):

@@ -376,3 +376,37 @@ def test_chunked_predictions_match_unchunked():
         np.asarray(agp.predict_f(gm, gs, X)),
         rtol=1e-10,
     )
+
+
+def test_chunked_mo_predictions_match_unchunked():
+    import agp_tpu as agp
+    from agp_tpu.models.multioutput import mo_init_state
+
+    X = jax.random.normal(jax.random.PRNGKey(0), (53, 2), dtype=jnp.float64)
+    mo = agp.MOSVGP.create(
+        agp.SqExponentialKernel(),
+        [agp.LogisticLikelihood.create(), agp.GaussianLikelihood.create(0.1)],
+        agp.AnalyticVI(), X[:8], n_latent=2, optimiser=None,
+    )
+    ys = [np.sign(np.asarray(X[:, 0])), np.asarray(X[:, 1])]
+    ys2, liks = [], []
+    for lik, yv in zip(mo.likelihoods, ys):
+        y2, tl = lik.treat_labels(jnp.asarray(yv))
+        ys2.append(jnp.asarray(y2, X.dtype))
+        liks.append(tl)
+    mo = mo.replace(likelihoods=tuple(liks))
+    s = mo_init_state(mo, X, ys2)
+
+    from agp_tpu.models.multioutput import mo_predict_f, mo_predict_y, mo_proba_y
+
+    mu, var = mo_predict_f(mo, s, X)
+    mu_c, var_c = mo_predict_f(mo, s, X, chunk_size=20)  # 53 = 2*20 + 13
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(var_c), np.asarray(var), rtol=1e-12)
+    for a, b in zip(mo_proba_y(mo, s, X, chunk_size=20), mo_proba_y(mo, s, X)):
+        np.testing.assert_allclose(
+            np.asarray(jnp.stack(a) if isinstance(a, tuple) else a),
+            np.asarray(jnp.stack(b) if isinstance(b, tuple) else b), rtol=1e-12,
+        )
+    for a, b in zip(mo_predict_y(mo, s, X, chunk_size=20), mo_predict_y(mo, s, X)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
