@@ -53,9 +53,19 @@ def _log_g(y, lam, omega):
 
 
 def _gig_mode(lam, omega):
-    """argmax of g: ((lam-1) + sqrt((lam-1)^2 + omega^2)) / omega."""
+    """argmax of g: ((lam-1) + sqrt((lam-1)^2 + omega^2)) / omega.
+
+    For lam < 1 the numerator is a difference of nearly-equal numbers and
+    cancels catastrophically in f32 when omega << 1 - lam (it rounded to a
+    0 mode, which poisoned the envelope normalization and made the sampler
+    return 0); the algebraically-equal conjugate form
+    omega / (sqrt((lam-1)^2 + omega^2) + (1 - lam)) is a sum of positives
+    there and exact to roundoff."""
     lm1 = lam - 1.0
-    return (lm1 + jnp.sqrt(lm1**2 + omega**2)) / omega
+    root = jnp.sqrt(lm1**2 + omega**2)
+    return jnp.where(
+        lm1 >= 0.0, (lm1 + root) / omega, omega / (root - lm1)
+    )
 
 
 def _cubic_roots(p2, p1, p0):
@@ -119,13 +129,17 @@ def _sample_gig_std(key, lam, omega, max_trips: int = 256):
     xr = (lp1 + jnp.sqrt(lp1**2 + omega**2)) / omega
     u2_hi = xr * jnp.exp(0.5 * (_log_g(xr, lam, omega) - log_gm)) * margin
 
-    # --- R3 constants: two-piece envelope split at x0
+    # --- R3 constants: Gamma(lam, omega/2) proposal for the small-omega,
+    # lam < 1 regime.  In standardized units T = (omega/2) X ~ Gamma(lam, 1),
+    # sampled by the Ahrens-Dieter two-piece envelope split at t = 1
+    # (t^(lam-1) body / e^-t tail), with the remaining GIG factor
+    # e^(-omega/(2X)) = e^(-omega^2/(4T)) folded into the same accept test.
+    # Unlike a split at x0 = omega/(1-lam) (whose tail envelope is loose by
+    # ~omega^(2(lam-1)) and collapses acceptance at small omega), this
+    # acceptance stays O(1) uniformly as omega -> 0.
     lam3 = jnp.maximum(lam, 1e-3)
-    x0 = omega / (1.0 - lam3)
-    # piece 1: g <= x^(lam-1) on (0, x0]; piece 2: g <= x0^(lam-1) e^(-omega x/2)
-    A1 = x0**lam3 / lam3
-    A2 = x0 ** (lam3 - 1.0) * (2.0 / omega) * jnp.exp(-omega * x0 / 2.0)
-    p_piece1 = A1 / (A1 + A2)
+    A1 = 1.0 / lam3
+    p_piece1 = A1 / (A1 + jnp.exp(-1.0))
 
     def trip(state):
         key, y, done, trips = state
@@ -148,13 +162,15 @@ def _sample_gig_std(key, lam, omega, max_trips: int = 256):
         X2 = U2 / jnp.maximum(V2, 1e-30)
         acc2 = 2.0 * jnp.log(jnp.maximum(V2, 1e-30)) <= _log_g(X2, lam, omega) - log_gm
 
-        # R3: two-piece envelope
+        # R3: Gamma proposal (Ahrens-Dieter pieces) + GIG small-x thinning
         use1 = u1 < p_piece1
-        Xa = x0 * u2 ** (1.0 / lam3)
-        acc_a = jnp.log(u3) <= -0.5 * omega * (Xa + 1.0 / jnp.maximum(Xa, 1e-30))
-        Xb = x0 - (2.0 / omega) * jnp.log(jnp.maximum(u2, 1e-30))
-        acc_b = jnp.log(u3) <= (lam3 - 1.0) * (jnp.log(Xb) - jnp.log(x0)) - 0.5 * omega / Xb
-        X3 = jnp.where(use1, Xa, Xb)
+        log_u3 = jnp.log(jnp.maximum(u3, 1e-30))
+        Ta = jnp.maximum(u2 ** (1.0 / lam3), 1e-30)  # t^(lam-1) body, (0, 1]
+        acc_a = log_u3 <= -Ta - omega**2 / (4.0 * Ta)
+        Tb = 1.0 - jnp.log(jnp.maximum(u2, 1e-30))  # e^-t tail, (1, inf)
+        acc_b = log_u3 <= (lam3 - 1.0) * jnp.log(Tb) - omega**2 / (4.0 * Tb)
+        T = jnp.where(use1, Ta, Tb)
+        X3 = 2.0 * T / omega
         acc3 = jnp.where(use1, acc_a, acc_b)
 
         X = jnp.where(r1, X1, jnp.where(r2, X2, X3))
