@@ -96,6 +96,10 @@ def test_pg1_vs_series_density_normalization():
         (1.7, 0.5, 0.2),
         (1.5, 3.0, 0.01),  # Matern-3/2 Gibbs regime, near-zero residual
         (0.3, 0.05, 0.05),  # small-omega concave regime
+        (0.3, 1e-6, 1e-6),  # omega -> 0: the regime where the pre-fix
+        # envelope's acceptance collapsed ~omega^(2(1-lam)) and the f32 mode
+        # formula cancelled to 0 (regression guard)
+        (0.9, 1e-6, 1e-6),
         (-3.5, 1.0, 1.0),
     ],
 )
@@ -119,7 +123,11 @@ def test_gig_general_p_moments(p, a, b):
     minv = sp.kv(p - 1, om) / sp.kv(p, om) / sc
     assert abs(s.mean() / m1 - 1.0) < 0.02
     assert abs(s.var() / v - 1.0) < 0.06
-    assert abs((1.0 / s).mean() / minv - 1.0) < 0.03
+    if om >= 1e-3:
+        # E[1/X] at omega -> 0 with 0 < p < 1 is dominated by a region of
+        # probability ~omega^p: no sampler's 120k-draw MC estimate of that
+        # functional converges there, so only check it at moderate omega
+        assert abs((1.0 / s).mean() / minv - 1.0) < 0.03
     assert np.all(s > 0)
 
 

@@ -675,3 +675,24 @@ def test_gibbs_cg_solver_matches_exact_posterior():
     assert float(jnp.max(jnp.abs(post_mean - mu_exact))) < 0.05
     med_rel = float(jnp.median(jnp.abs(post_var - var_exact) / var_exact))
     assert med_rel < 0.2
+
+
+def test_nuts_multiclass_softmax():
+    """NUTS on the multi-latent (K=3 softmax) log-joint: finite chains and
+    class separation (the whitened multi-latent path of inference/hmc.py,
+    reference capability hmcsampling.jl for any MCGP model)."""
+    from agp_tpu.models.mcgp import sample
+
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (40, 2), dtype=jnp.float64)
+    y = np.asarray((X[:, 0] > 0).astype(int) + (X[:, 1] > 0).astype(int))
+    m = agp.MCGP.create(
+        X, y, agp.SqExponentialKernel(), agp.SoftMaxLikelihood.create(3),
+        agp.HMCSampling(n_burnin=50),
+    )
+    s = sample(m, 100, key=jax.random.PRNGKey(1))
+    assert s.shape == (100, 3, 40)
+    assert bool(jnp.all(jnp.isfinite(s)))
+    f_mean = jnp.mean(s, axis=0)
+    acc = float(jnp.mean(jnp.argmax(f_mean, axis=0) == jnp.asarray(y)))
+    assert acc > 0.7
