@@ -122,3 +122,50 @@ def test_huge_latents_in_estep():
         ell = lik2.expec_loglik(y_bin, big[None], var[None], local)
         akl = lik2.aug_kl(local, y_bin)
         assert bool(jnp.isfinite(ell)) and bool(jnp.isfinite(akl)), type(lik).__name__
+
+
+def test_composite_kernel_hyperopt():
+    """Log-space hyperparameter steps must flow through composite kernel
+    pytrees (Sum/Product/scaled) without NaNs and leave a finite ELBO."""
+    import optax
+
+    X = jax.random.uniform(jax.random.PRNGKey(0), (150, 2), dtype=jnp.float64) * 4 - 2
+    y = np.asarray(
+        jnp.sin(2 * X[:, 0])
+        + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (150,), jnp.float64)
+    )
+    for kern in (
+        agp.SqExponentialKernel() + agp.Matern32Kernel(),
+        agp.SqExponentialKernel() * agp.LinearKernel(),
+        2.5 * agp.SqExponentialKernel(),
+    ):
+        m = agp.SVGP.create(
+            kern, agp.GaussianLikelihood.create(0.1), agp.AnalyticVI(),
+            Z=X[:16], optimiser=optax.adam(0.02), atfrequency=2,
+        )
+        y2, lik = m.likelihood.treat_labels(jnp.asarray(y))
+        m = m.replace(likelihood=lik)
+        m, s = agp.train(m, X, jnp.asarray(y2, X.dtype), iterations=30)
+        assert bool(jnp.isfinite(agp.ELBO(m, s, X, jnp.asarray(y2, X.dtype))))
+        assert _finite(agp.predict_f(m, s, X[:10]))
+
+
+def test_online_capacity_saturation():
+    """Streaming more distinct inputs than the fixed inducing capacity must
+    saturate the mask at capacity (never overflow the static buffers) and
+    keep the posterior finite (models/online_svgp.py masked design)."""
+    from agp_tpu.models.online_svgp import OnlineSVGP, online_train
+
+    om = OnlineSVGP.create(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(0.5)),
+        agp.GaussianLikelihood.create(0.1),
+        agp.AnalyticVI(), n_dim=1, capacity=16, optimiser=None,
+    )
+    st = None
+    for i in range(10):
+        Xb = jnp.linspace(i, i + 1, 25, dtype=jnp.float64)[:, None]
+        yb = np.asarray(jnp.sin(2 * Xb[:, 0]))
+        om, st = online_train(om, Xb, yb, state=st, iterations=5)
+    assert int(jnp.sum(om.z_mask[0])) == 16
+    assert _finite((st.mu, st.Sigma))
+    assert _finite(agp.predict_f(om, st, jnp.linspace(9.0, 10.0, 20)[:, None]))
