@@ -209,10 +209,12 @@ def train(
     try:
         if fast_path:
             # fuse the whole run into on-device scans (chunked so a single
-            # dispatch never grows unboundedly long)
+            # dispatch never grows unboundedly long; 2000 iters ~ 60ms of
+            # device work per dispatch, which amortizes the per-call host
+            # round-trip to <1% -- measured +5% over 200 on the TPU tunnel)
             done = 0
             prev_elbo = None
-            chunk = conv_check_every if conv_eps > 0 else 200
+            chunk = conv_check_every if conv_eps > 0 else 2000
             while done < iterations:
                 n = min(chunk, iterations - done)
                 model, state = _vi_steps(model, state, X, y, n)

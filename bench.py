@@ -45,7 +45,7 @@ def build_workload(dtype):
     return model, state, X, y2
 
 
-def bench_jax(iters=6000, chunk=200):
+def bench_jax(iters=8000, chunk=2000):
     import jax
 
     from agp_tpu.training.train import _vi_steps
@@ -161,7 +161,7 @@ def bench_extra():
     )
     y2, tl = m.likelihood.treat_labels(y)
     m = m.replace(likelihood=tl)
-    rows["multiclass_k10_m64_b2048"] = _bench_config(m, X, y2.astype(dtype), 4000, 200)
+    rows["multiclass_k10_m64_b2048"] = _bench_config(m, X, y2.astype(dtype), 4000, 2000)
 
     # heteroscedastic two-GP regression
     N, D, M, B = 50_000, 10, 64, 2048
@@ -176,7 +176,7 @@ def bench_extra():
     )
     y2, tl = m.likelihood.treat_labels(yr)
     m = m.replace(likelihood=tl)
-    rows["heteroscedastic_m64_b2048"] = _bench_config(m, X, y2.astype(dtype), 4000, 200)
+    rows["heteroscedastic_m64_b2048"] = _bench_config(m, X, y2.astype(dtype), 4000, 2000)
 
     # large-M / large-B logistic (the MXU-bound regime)
     N, D, M, B = 500_000, 20, 512, 65_536
