@@ -193,6 +193,12 @@ def _pallas_fused_spec(model):
         return kind, "bayesiansvm", 0.0, 0.0, "c"
     if name == "Matern32Likelihood":
         return kind, "matern32", lik.rho, 0.0, "c"
+    if name == "NegBinomialLikelihood":
+        return kind, "negbinomial", lik.r, 0.0, "c"
+    if name == "PoissonLikelihood":
+        # lam passes in as p0; its closed-form MLE update runs as an XLA
+        # epilogue on the kernel's (mf, vf) outputs (see variational_update)
+        return kind, "poisson", lik.lam, 0.0, "c"
     return None
 
 
@@ -324,7 +330,7 @@ def variational_update(model, state: TrainState, x, y) -> Tuple[Any, TrainState]
         rho = state.rho
         bf16 = os.environ.get("AGP_TPU_BF16") == "1"
         xs, zs, ls = _fused_scaled_inputs(model, x)
-        s1, S2, c, theta = pk.fused_cavi_stats(
+        s1, S2, c, theta, mf, vf = pk.fused_cavi_stats(
             xs,
             y,
             zs,
@@ -347,6 +353,21 @@ def variational_update(model, state: TrainState, x, y) -> Tuple[Any, TrainState]
         local["theta"] = theta
         if c_key is not None and c_key in local:
             local[c_key] = c
+        if lik_name == "poisson":
+            # epilogue of the Poisson E-step on the kernel's latent moments:
+            # gamma (the in-kernel formula, for local_vars/ELBO terms) and
+            # the closed-form rate MLE lam <- sum y / sum E[sigmoid(f)]
+            # (likelihoods/event.py::_local_updates)
+            from ..ops.quadrature import expectation
+            from ..ops.special import safe_expcosh
+
+            mf = mf.astype(x.dtype)
+            vf = vf.astype(x.dtype)
+            local["gamma"] = (
+                model.likelihood.lam * safe_expcosh(-mf / 2.0, c / 2.0) / 2.0
+            )
+            new_lam = jnp.sum(y) / jnp.sum(expectation(jax.nn.sigmoid, mf, vf))
+            model = model.replace(likelihood=model.likelihood.replace(lam=new_lam))
         state = _nat_update_from_stats(
             model,
             state.replace(local_vars=local),

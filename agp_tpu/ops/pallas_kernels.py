@@ -390,7 +390,7 @@ def cavi_stats(kappa, g, theta, tile_b=512):
 # ------------------------------------------------- fused full CAVI statistics
 def _cavi_fused_kernel(
     x_ref, y_ref, mask_ref, z_ref, kinv_ref, mu_ref, sigma_ref, params_ref,
-    s1_ref, s2_ref, c_ref, theta_ref, *, kind, lik, bf16,
+    s1_ref, s2_ref, c_ref, theta_ref, mf_ref, vf_ref, *, kind, lik, bf16,
 ):
     """One pass per B-tile: gram -> kappa -> Ktilde -> latent moments ->
     likelihood E-step -> statistic accumulation.  Everything VMEM-resident;
@@ -473,11 +473,28 @@ def _cavi_fused_kernel(
         theta = 3.0 / (2.0 * sqrt3 * c * p0 + 2.0 * p0 * p0)
         gmu = 2.0 * theta * yb
         gs = theta
+    elif lik == "negbinomial":
+        # p0 = r (failure count); omega ~ PG(y + r, f)
+        c = jnp.sqrt(jnp.maximum(mf * mf + vf, 1e-30))
+        theta = (yb + p0) * jnp.tanh(c / 2.0) / (2.0 * c)
+        gmu = (yb - p0) / 2.0
+        gs = theta / 2.0
+    elif lik == "poisson":
+        # p0 = lambda (rate scale, updated by the caller from mf/vf);
+        # gamma = E[latent count] = lam e^{-mf/2} / (2 cosh(c/2))
+        c = jnp.sqrt(jnp.maximum(mf * mf + vf, 1e-30))
+        logcosh_half = c / 2.0 + jnp.log1p(jnp.exp(-c)) - 0.6931471805599453
+        gamma = p0 * jnp.exp(-mf / 2.0 - logcosh_half) / 2.0
+        theta = (yb + gamma) * jnp.tanh(c / 2.0) / (2.0 * c)
+        gmu = (yb - gamma) / 2.0
+        gs = theta / 2.0
     else:
         raise ValueError(lik)
 
     c_ref[:] = c
     theta_ref[:] = theta
+    mf_ref[:] = mf
+    vf_ref[:] = vf
 
     @pl.when(i == 0)
     def _():
@@ -491,7 +508,8 @@ def _cavi_fused_kernel(
 
 
 _FUSED_LIKS = (
-    "logistic", "gaussian", "studentt", "laplace", "bayesiansvm", "matern32"
+    "logistic", "gaussian", "studentt", "laplace", "bayesiansvm", "matern32",
+    "negbinomial", "poisson",
 )
 
 
@@ -501,10 +519,11 @@ def fused_cavi_stats(
     lik_p0=0.0, lik_p1=0.0, kind="rbf", lik="logistic", tile_b=1024, bf16=False,
 ):
     """Fused statistics for one CAVI step (single latent GP):
-    returns (s1 [M], S2 [M, M], c [B], theta [B]) with
-    (s1, S2) = (kappa^T rho gmu, kappa^T diag(rho gs) kappa) and (c, theta)
+    returns (s1 [M], S2 [M, M], c [B], theta [B], mf [B], vf [B]) with
+    (s1, S2) = (kappa^T rho gmu, kappa^T diag(rho gs) kappa), (c, theta)
     the E-step local variables (so the caller can keep state.local_vars in
-    sync without a second pass).
+    sync without a second pass), and (mf, vf) the latent moments (needed by
+    likelihoods with closed-form parameter updates, e.g. the Poisson rate).
     """
     B, D = xb.shape
     M = Z.shape[0]
@@ -522,7 +541,7 @@ def fused_cavi_stats(
         jnp.asarray(lik_p0, jnp.float32).reshape(()),
         jnp.asarray(lik_p1, jnp.float32).reshape(()),
     ])
-    s1, s2, c, theta = pl.pallas_call(
+    s1, s2, c, theta, mf, vf = pl.pallas_call(
         functools.partial(_cavi_fused_kernel, kind=kind, lik=lik, bf16=bf16),
         grid=(Bp // tile_b,),
         in_specs=[
@@ -540,10 +559,14 @@ def fused_cavi_stats(
             pl.BlockSpec((M, M), lambda i: (0, 0)),
             pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
             pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, M), jnp.float32),
             jax.ShapeDtypeStruct((M, M), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         ],
@@ -557,4 +580,4 @@ def fused_cavi_stats(
         Sigma.astype(jnp.float32),
         params,
     )
-    return s1[0], s2, c[:B, 0], theta[:B, 0]
+    return s1[0], s2, c[:B, 0], theta[:B, 0], mf[:B, 0], vf[:B, 0]

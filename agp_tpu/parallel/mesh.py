@@ -192,7 +192,7 @@ def sharded_fused_svi_step(mesh: Mesh, model_template, batch_per_device: int, ax
         with pallas_override("on"):
             _, _, p0, p1, _ = _pallas_fused_spec(model)  # traced lik params
         xs_b, zs, ls = _fused_scaled_inputs(model, x_b)
-        s1, S2, c, theta = pk.fused_cavi_stats(
+        s1, S2, c, theta, _, _ = pk.fused_cavi_stats(
             xs_b,
             y_b,
             zs,

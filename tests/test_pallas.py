@@ -68,10 +68,12 @@ def test_fused_cavi_stats_padding_masked(setup):
     s1_ref = kappa.T @ (rho * s["y"] / 2)
     S2_ref = (kappa * (rho * th / 2)[:, None]).T @ kappa
     with pltpu.force_tpu_interpret_mode():
-        s1, S2, c_out, th_out = pk.fused_cavi_stats(
+        s1, S2, c_out, th_out, mf_out, vf_out = pk.fused_cavi_stats(
             s["X"], s["y"], s["Z"], s["Kinv"], mu, Sigma,
             s["ls"], s["var"], s["jitt"], rho, kind="rbf", lik="logistic", tile_b=128,
         )
+    np.testing.assert_allclose(np.asarray(mf_out), np.asarray(mf), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vf_out), np.asarray(vf), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s1_ref), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(S2), np.asarray(S2_ref), rtol=5e-3, atol=1e-3)
     # the E-step local vars come back so state.local_vars stays in sync
@@ -81,7 +83,8 @@ def test_fused_cavi_stats_padding_masked(setup):
 
 @pytest.mark.parametrize(
     "lik_name",
-    ["logistic", "gaussian", "studentt", "laplace", "bayesiansvm", "matern32"],
+    ["logistic", "gaussian", "studentt", "laplace", "bayesiansvm", "matern32",
+     "negbinomial", "poisson"],
 )
 def test_fused_production_step_matches_xla(lik_name, monkeypatch):
     """END-TO-END: variational_update through the fused Pallas path
@@ -102,6 +105,14 @@ def test_fused_production_step_matches_xla(lik_name, monkeypatch):
         "laplace": (agp.LaplaceLikelihood.create(), np.asarray(f)),
         "bayesiansvm": (agp.BayesianSVM.create(), np.where(np.asarray(f) > 0, 1.0, -1.0)),
         "matern32": (agp.Matern32Likelihood.create(0.7), np.asarray(f)),
+        "negbinomial": (
+            agp.NegBinomialLikelihood.create(5.0),
+            np.floor(3.0 * np.exp(np.asarray(f))),
+        ),
+        "poisson": (
+            agp.PoissonLikelihood.create(2.0),
+            np.floor(3.0 * np.exp(np.asarray(f))),
+        ),
     }
     lik, y = liks[lik_name]
     model = agp.SVGP.create(
@@ -146,6 +157,16 @@ def test_fused_production_step_matches_xla(lik_name, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(s_p.local_vars[c_key]), np.asarray(s_x.local_vars[c_key]),
             rtol=1e-4, atol=1e-6,
+        )
+    if lik_name == "poisson":
+        # the fused path's epilogue must reproduce the eager E-step's gamma
+        # and closed-form rate update
+        np.testing.assert_allclose(
+            np.asarray(s_p.local_vars["gamma"]), np.asarray(s_x.local_vars["gamma"]),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(m_p.likelihood.lam), float(m_x.likelihood.lam), rtol=1e-4
         )
 
 
