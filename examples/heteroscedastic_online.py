@@ -1,6 +1,15 @@
 """BASELINE config #5: heteroscedastic two-GP regression + online/streaming
 inducing-point updates."""
-import jax, jax.numpy as jnp, numpy as np
+import os
+
+import jax
+
+if os.environ.get("AGP_EXAMPLES_CPU", "1") == "1":
+    # tiny didactic workloads: local CPU beats any accelerator round-trip
+    # (and the remote-TPU tunnel's first compile); AGP_EXAMPLES_CPU=0 keeps
+    # the ambient backend
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp, numpy as np
 import agp_tpu as agp
 
 # --- heteroscedastic: noise level driven by a second GP ---
