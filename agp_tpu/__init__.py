@@ -84,32 +84,89 @@ ELBO = elbo
 __version__ = "0.1.0"
 
 __all__ = [
+    # models (reference export list, src/AugmentedGaussianProcesses.jl:10)
     "GP",
     "VGP",
     "SVGP",
+    "MCGP",
+    "VStP",
+    "MOVGP",
+    "MOSVGP",
+    "OnlineSVGP",
+    # training / prediction
     "train",
     "elbo",
     "init_state",
     "predict_f",
     "predict_y",
     "proba_y",
+    "sample_f",
+    "predict_ar",
+    "sample_ar",
+    "mo_train",
+    "mo_init_state",
+    "mo_elbo",
+    "mo_predict_f",
+    "mo_predict_y",
+    "mo_proba_y",
+    "online_train",
+    "online_elbo",
+    "checkpoint",
+    # inference configs
     "Analytic",
     "AnalyticVI",
     "AnalyticSVI",
+    "NumericalVI",
+    "NumericalSVI",
     "QuadratureVI",
     "QuadratureSVI",
     "MCIntegrationVI",
     "MCIntegrationSVI",
     "GibbsSampling",
     "HMCSampling",
-    "robbins_monro",
-    "alrsvi",
-    "ELBO",
-    "sample_f",
+    # sampling entry points
     "sample",
     "sample_hmc",
     "sample_nuts",
     "smc_sample",
+    "svgd_sample",
+    # likelihoods
+    "Likelihood",
+    "GaussianLikelihood",
+    "StudentTLikelihood",
+    "LaplaceLikelihood",
+    "Matern32Likelihood",
+    "HeteroscedasticLikelihood",
+    "LogisticLikelihood",
+    "BayesianSVM",
+    "PoissonLikelihood",
+    "NegBinomialLikelihood",
+    "MultiClassLikelihood",
+    "LogisticSoftMaxLikelihood",
+    "SoftMaxLikelihood",
     "make_augmented_likelihood",
+    # kernels
     "kernels",
+    "SqExponentialKernel",
+    "RBFKernel",
+    "Matern12Kernel",
+    "Matern32Kernel",
+    "Matern52Kernel",
+    "RationalQuadraticKernel",
+    "CosineKernel",
+    "PeriodicKernel",
+    "LinearKernel",
+    "PolynomialKernel",
+    "ConstantKernel",
+    "WhiteKernel",
+    # prior means
+    "ZeroMean",
+    "ConstantMean",
+    "EmpiricalMean",
+    "AffineMean",
+    # optimiser schedules
+    "robbins_monro",
+    "alrsvi",
+    # aliases
+    "ELBO",
 ]
