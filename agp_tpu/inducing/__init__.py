@@ -3,7 +3,10 @@ from .algorithms import (
     KmeansAlg,
     OIPS,
     RandomSubset,
+    StreamKmeans,
     UniGrid,
+    UniGridOnline,
+    Webscale,
     inducingpoints,
 )
 
@@ -12,6 +15,9 @@ __all__ = [
     "KmeansAlg",
     "OIPS",
     "RandomSubset",
+    "StreamKmeans",
     "UniGrid",
+    "UniGridOnline",
+    "Webscale",
     "inducingpoints",
 ]

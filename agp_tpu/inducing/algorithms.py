@@ -153,6 +153,135 @@ def oips_update(kernel, Z, mask, X_batch, rho: float):
 
 
 @dataclasses.dataclass(frozen=True)
+class UniGridOnline:
+    """Streaming uniform grid (reference: InducingPoints.UniGrid used as an
+    online algorithm with `updateZ`): the inducing set is a regular grid
+    over the running bounding box of the stream; each batch can only expand
+    the box, and the grid is regenerated over the new bounds.  All
+    ``points_per_dim ** D`` slots are active from the first batch; the
+    static capacity never changes, only positions move (the streaming
+    correction projects the old posterior through kappa_a, so moving Z is
+    handled exactly like the reference's updateZs!)."""
+
+    points_per_dim: int
+
+    def __call__(self, X, key=None):
+        return UniGrid(self.points_per_dim)(X, key=key)
+
+
+def unigrid_update(Z, mask, X_batch, points_per_dim: int):
+    """On-device online UniGrid step: expand per-dim bounds to cover the
+    batch, regenerate the regular grid.  Z: [M_cap, D]; the first
+    points_per_dim**D slots hold the grid (all active)."""
+    D = X_batch.shape[1]
+    P = points_per_dim
+    k0 = P**D
+    big = jnp.asarray(jnp.inf, Z.dtype)
+    lo_z = jnp.min(jnp.where(mask[:, None], Z, big), axis=0)
+    hi_z = jnp.max(jnp.where(mask[:, None], Z, -big), axis=0)
+    lo = jnp.minimum(lo_z, jnp.min(X_batch, axis=0))
+    hi = jnp.maximum(hi_z, jnp.max(X_batch, axis=0))
+    t = jnp.linspace(0.0, 1.0, P).astype(Z.dtype)  # [P]
+    axes = lo[None, :] + t[:, None] * (hi - lo)[None, :]  # [P, D]
+    mesh = jnp.meshgrid(*[axes[:, d] for d in range(D)], indexing="ij")
+    grid = jnp.stack([m.ravel() for m in mesh], axis=1)  # [k0, D]
+    Z = jax.lax.dynamic_update_slice(Z, grid, (0, 0))
+    mask = mask.at[:k0].set(True)
+    return Z, mask
+
+
+@dataclasses.dataclass(frozen=True)
+class Webscale:
+    """Web-scale (minibatch) k-means (Sculley '10; reference:
+    InducingPoints.Webscale): a fixed set of k centers, each moved toward
+    the mean of the batch points assigned to it with a per-center learning
+    rate 1/count.  The active set is k slots from the first batch onward;
+    only positions move."""
+
+    k: int
+
+    def __call__(self, X, key=None):
+        X = np.asarray(X)
+        rng = np.random.RandomState(0 if key is None else int(np.asarray(key)[-1]))
+        idx = rng.choice(X.shape[0], size=min(self.k, X.shape[0]), replace=False)
+        return jnp.asarray(X[idx])
+
+
+def webscale_update(Z, mask, counts, X_batch):
+    """On-device minibatch k-means step over the active centers.  Matches
+    Sculley's per-center 1/count rate with within-batch updates folded into
+    one count-weighted mean (vectorized; order-free)."""
+    d2 = jnp.sum((X_batch[:, None, :] - Z[None, :, :]) ** 2, axis=-1)  # [B, Mc]
+    d2 = jnp.where(mask[None, :], d2, jnp.inf)
+    assign = jnp.argmin(d2, axis=1)  # [B]
+    onehot = (assign[:, None] == jnp.arange(Z.shape[0])[None, :]).astype(Z.dtype)
+    nb = jnp.sum(onehot, axis=0)  # [Mc]
+    bsum = onehot.T @ X_batch  # [Mc, D]
+    bmean = bsum / jnp.maximum(nb, 1.0)[:, None]
+    new_counts = counts + nb
+    eta = nb / jnp.maximum(new_counts, 1.0)
+    move = (mask & (nb > 0))[:, None]
+    Z = jnp.where(move, Z + eta[:, None] * (bmean - Z), Z)
+    return Z, mask, new_counts
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamKmeans:
+    """Streaming k-means with a data-driven opening radius (reference:
+    InducingPoints.StreamKmeans): a batch point opens a new center when its
+    squared distance to the nearest active center exceeds ``radius2``
+    (capacity permitting); otherwise the nearest center absorbs it with a
+    running-mean step.  DP-means-style growth + online Lloyd refinement."""
+
+    capacity: int = 128
+    radius2: float = 1.0
+
+    def __call__(self, X, key=None):
+        X = np.asarray(X)
+        Z = [X[0]]
+        counts = [1]
+        for x in X[1:]:
+            d2 = ((np.stack(Z) - x) ** 2).sum(-1)
+            j = int(d2.argmin())
+            if d2[j] > self.radius2 and len(Z) < self.capacity:
+                Z.append(x)
+                counts.append(1)
+            else:
+                counts[j] += 1
+                Z[j] = Z[j] + (x - Z[j]) / counts[j]
+        return jnp.asarray(np.stack(Z))
+
+
+def streamkmeans_update(Z, mask, counts, X_batch, radius2: float):
+    """On-device streaming k-means update (sequential accept rule preserved
+    by a lax.scan over the batch, like `oips_update`)."""
+    cap = Z.shape[0]
+
+    def body(carry, x):
+        Z, mask, counts = carry
+        d2 = jnp.sum((Z - x[None, :]) ** 2, axis=-1)
+        d2 = jnp.where(mask, d2, jnp.inf)
+        j = jnp.argmin(d2)
+        n_active = jnp.sum(mask)
+        open_new = jnp.logical_and(d2[j] > radius2, n_active < cap)
+        slot = jnp.argmin(mask)  # first inactive slot
+        # open: write x into the free slot with count 1
+        Z_open = jax.lax.dynamic_update_slice(Z, x[None, :], (slot, 0))
+        # absorb: running mean on center j
+        cj = counts[j] + 1.0
+        Z_abs = Z.at[j].add((x - Z[j]) / cj)
+        Z = jnp.where(open_new, Z_open, Z_abs)
+        mask = jnp.where(open_new, mask.at[slot].set(True), mask)
+        counts = jnp.where(
+            open_new, counts.at[slot].set(1.0), counts.at[j].set(cj)
+        )
+        return (Z, mask, counts), open_new
+
+    (Z, mask, counts), _ = jax.lax.scan(body, (Z, mask, counts), X_batch)
+    return Z, mask, counts
+
+
+@dataclasses.dataclass(frozen=True)
 class GreedyVariance:
     """Greedy conditional-variance selection (Burt et al. '20): repeatedly
     add the point with the largest posterior conditional variance given the

@@ -31,7 +31,17 @@ import optax
 from flax import struct
 
 from ..config import jitter
-from ..inducing.algorithms import OIPS, inducingpoints, oips_update
+from ..inducing.algorithms import (
+    OIPS,
+    StreamKmeans,
+    UniGridOnline,
+    Webscale,
+    inducingpoints,
+    oips_update,
+    streamkmeans_update,
+    unigrid_update,
+    webscale_update,
+)
 from ..inference.config import AnalyticVI, InferenceConfig
 from ..kernels import batch_diag, batch_gram
 from ..likelihoods.base import Likelihood
@@ -48,12 +58,16 @@ class OnlineSVGP(struct.PyTreeNode):
     z_mask: jnp.ndarray  # [L, Mc] active flags
     Za: jnp.ndarray  # [L, Mc, D] previous inducing set
     za_mask: jnp.ndarray  # [L, Mc]
+    z_counts: jnp.ndarray  # [L, Mc] per-center absorb counts (kmeans algs)
     inference: InferenceConfig = struct.field(pytree_node=False)
     n_latent: int = struct.field(pytree_node=False)
     capacity: int = struct.field(pytree_node=False, default=128)
     rho_accept: float = struct.field(pytree_node=False, default=0.8)
     atfrequency: int = struct.field(pytree_node=False, default=1)
     optimiser: Optional[Any] = struct.field(pytree_node=False, default=None)
+    # the online selection algorithm (frozen dataclass -> hashable static
+    # metadata); None falls back to OIPS(rho_accept, capacity)
+    Zalg: Optional[Any] = struct.field(pytree_node=False, default=None)
 
     is_sparse = True
     is_multioutput = False
@@ -77,6 +91,14 @@ class OnlineSVGP(struct.PyTreeNode):
             raise ValueError("OnlineSVGP supports AnalyticVI only")
         check_implemented(likelihood, inference)
         Zalg = OIPS(capacity=capacity) if Zalg is None else Zalg
+        # shape the static capacity to the algorithm (grid / fixed-k
+        # algorithms know their active-set size up front)
+        if isinstance(Zalg, UniGridOnline):
+            capacity = max(capacity, Zalg.points_per_dim**n_dim)
+        elif isinstance(Zalg, Webscale):
+            capacity = max(capacity, Zalg.k)
+        elif isinstance(Zalg, StreamKmeans):
+            capacity = Zalg.capacity
         L = likelihood.n_latent
         mean = ZeroMean() if mean is None else mean
         kernel, mean = prepare_components(kernel, likelihood, mean, L)
@@ -93,12 +115,14 @@ class OnlineSVGP(struct.PyTreeNode):
             z_mask=z_mask,
             Za=Z,
             za_mask=z_mask,
+            z_counts=jnp.zeros((L, Mc)),
             inference=inference,
             n_latent=L,
             capacity=Mc,
-            rho_accept=Zalg.rho,
+            rho_accept=getattr(Zalg, "rho", 0.8),
             atfrequency=atfrequency,
             optimiser=optimiser,
+            Zalg=Zalg,
         )
 
     @property
@@ -176,7 +200,27 @@ def save_old_parameters(model: OnlineSVGP, state):
 
 
 def update_Z(model: OnlineSVGP, x):
-    """Grow the inducing buffer with the OIPS accept rule (lax.scan)."""
+    """Per-batch inducing-set update, dispatched on the (static) online
+    algorithm (reference: onlinetraining.jl updateZs! over the
+    InducingPoints.jl OnIPSA algorithms).  OIPS/StreamKmeans grow the masked
+    buffer; UniGrid/Webscale move a fixed active set (the streaming
+    correction projects the old posterior through kappa_a either way)."""
+    alg = model.Zalg
+    if isinstance(alg, UniGridOnline):
+        Z, z_mask = jax.vmap(
+            lambda Z, m: unigrid_update(Z, m, x, alg.points_per_dim)
+        )(model.Z, model.z_mask)
+        return model.replace(Z=Z, z_mask=z_mask)
+    if isinstance(alg, Webscale):
+        Z, z_mask, counts = jax.vmap(
+            lambda Z, m, c: webscale_update(Z, m, c, x)
+        )(model.Z, model.z_mask, model.z_counts)
+        return model.replace(Z=Z, z_mask=z_mask, z_counts=counts)
+    if isinstance(alg, StreamKmeans):
+        Z, z_mask, counts = jax.vmap(
+            lambda Z, m, c: streamkmeans_update(Z, m, c, x, alg.radius2)
+        )(model.Z, model.z_mask, model.z_counts)
+        return model.replace(Z=Z, z_mask=z_mask, z_counts=counts)
 
     def one(k, Z, m):
         return oips_update(k, Z, m, x, model.rho_accept)
@@ -273,16 +317,22 @@ def online_train(model: OnlineSVGP, X, y, state=None, iterations: int = 20, key=
 
     first = state is None
     if first:
-        # initialize inducing set from the first batch (host-side OIPS)
-        Z0 = inducingpoints(
-            OIPS(rho=model.rho_accept, capacity=model.capacity),
-            X,
-            kernel=jax.tree_util.tree_map(lambda l: l[0], model.kernel),
+        # initialize inducing set from the first batch (host-side pass of
+        # the model's selection algorithm; reference onlinetraining.jl:59-61)
+        alg = (
+            model.Zalg
+            if model.Zalg is not None
+            else OIPS(rho=model.rho_accept, capacity=model.capacity)
         )
-        k0 = Z0.shape[0]
+        Z0 = inducingpoints(
+            alg, X, kernel=jax.tree_util.tree_map(lambda l: l[0], model.kernel)
+        )
+        k0 = min(Z0.shape[0], model.capacity)
+        Z0 = Z0[:k0]
         Z = model.Z.at[:, :k0, :].set(jnp.broadcast_to(Z0, (model.n_latent,) + Z0.shape).astype(dtype))
         z_mask = model.z_mask.at[:, :k0].set(True)
-        model = model.replace(Z=Z, z_mask=z_mask)
+        counts = model.z_counts.at[:, :k0].set(1.0)
+        model = model.replace(Z=Z, z_mask=z_mask, z_counts=counts)
         post = init_var_posterior(model.n_latent, model.capacity, dtype)
         Mc = model.capacity
         state = TrainState(

@@ -410,3 +410,76 @@ def test_chunked_mo_predictions_match_unchunked():
         )
     for a, b in zip(mo_predict_y(mo, s, X, chunk_size=20), mo_predict_y(mo, s, X)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+# ------------------------------------------------ online inducing algorithms
+def test_unigrid_online_update_covers_bounds():
+    """Online UniGrid regenerates the regular grid over the expanded
+    bounding box (reference: InducingPoints.UniGrid used online)."""
+    from agp_tpu.inducing import UniGridOnline, inducingpoints
+    from agp_tpu.inducing.algorithms import unigrid_update
+
+    P = 4
+    X1 = jax.random.uniform(jax.random.PRNGKey(0), (20, 2), dtype=jnp.float64)
+    Z0 = inducingpoints(UniGridOnline(P), X1)
+    assert Z0.shape == (P * P, 2)
+    cap = 20
+    Z = jnp.zeros((cap, 2), dtype=jnp.float64).at[: P * P].set(Z0)
+    mask = jnp.zeros((cap,), bool).at[: P * P].set(True)
+    # second batch extends the range to [2, 3]^2
+    X2 = 2.0 + jax.random.uniform(jax.random.PRNGKey(1), (20, 2), dtype=jnp.float64)
+    Z2, mask2 = jax.jit(lambda Z, m, x: unigrid_update(Z, m, x, P))(Z, mask, X2)
+    assert int(mask2.sum()) == P * P
+    act = np.asarray(Z2[: P * P])
+    lo_expect = np.minimum(np.asarray(X1).min(0), np.asarray(X2).min(0))
+    hi_expect = np.maximum(np.asarray(X1).max(0), np.asarray(X2).max(0))
+    np.testing.assert_allclose(act.min(0), lo_expect, rtol=1e-12)
+    np.testing.assert_allclose(act.max(0), hi_expect, rtol=1e-12)
+    # still a regular grid: per-dim sorted unique values are evenly spaced
+    for d in range(2):
+        vals = np.unique(np.round(act[:, d], 12))
+        assert len(vals) == P
+        np.testing.assert_allclose(np.diff(vals), np.diff(vals)[0], rtol=1e-9)
+
+
+def test_webscale_update_moves_centers_to_cluster_means():
+    """Minibatch k-means: with two far clusters and two active centers, a
+    few batches put each center near one cluster mean (Sculley '10)."""
+    from agp_tpu.inducing.algorithms import webscale_update
+
+    key = jax.random.PRNGKey(2)
+    c0 = jnp.asarray([0.0, 0.0])
+    c1 = jnp.asarray([10.0, 10.0])
+    Z = jnp.stack([c0 + 1.5, c1 - 1.5])  # offset starting centers
+    cap = 2
+    mask = jnp.ones((cap,), bool)
+    counts = jnp.ones((cap,))
+    up = jax.jit(webscale_update)
+    for i in range(20):
+        key, k1, k2 = jax.random.split(key, 3)
+        pts = jnp.concatenate(
+            [c0 + 0.1 * jax.random.normal(k1, (16, 2)), c1 + 0.1 * jax.random.normal(k2, (16, 2))]
+        )
+        Z, mask, counts = up(Z, mask, counts, pts)
+    d0 = float(jnp.linalg.norm(Z[0] - c0))
+    d1 = float(jnp.linalg.norm(Z[1] - c1))
+    assert d0 < 0.3 and d1 < 0.3
+    assert float(counts.min()) > 100  # both centers absorbed points
+
+
+def test_streamkmeans_update_opens_and_absorbs():
+    from agp_tpu.inducing.algorithms import streamkmeans_update
+
+    cap = 8
+    Z = jnp.zeros((cap, 2)).at[0].set(jnp.asarray([0.0, 0.0]))
+    mask = jnp.zeros((cap,), bool).at[0].set(True)
+    counts = jnp.zeros((cap,)).at[0].set(1.0)
+    # near point absorbs (running mean), far point opens a new center
+    batch = jnp.asarray([[0.2, 0.0], [5.0, 5.0]])
+    Z2, mask2, counts2 = jax.jit(
+        lambda Z, m, c, x: streamkmeans_update(Z, m, c, x, radius2=1.0)
+    )(Z, mask, counts, batch)
+    assert int(mask2.sum()) == 2
+    np.testing.assert_allclose(np.asarray(Z2[0]), [0.1, 0.0], atol=1e-12)  # (0+0.2)/2
+    np.testing.assert_allclose(np.asarray(Z2[1]), [5.0, 5.0], atol=1e-12)
+    assert float(counts2[0]) == 2.0 and float(counts2[1]) == 1.0

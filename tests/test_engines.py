@@ -696,3 +696,41 @@ def test_nuts_multiclass_softmax():
     f_mean = jnp.mean(s, axis=0)
     acc = float(jnp.mean(jnp.argmax(f_mean, axis=0) == jnp.asarray(y)))
     assert acc > 0.7
+
+
+@pytest.mark.parametrize("algname", ["unigrid", "webscale", "streamkmeans"])
+def test_online_svgp_alternative_zalgs(reg_data, algname):
+    """Streaming training with the non-OIPS online inducing algorithms
+    (reference: InducingPoints.jl OnIPSA family used by OnlineSVGP)."""
+    from agp_tpu.inducing import StreamKmeans, UniGridOnline, Webscale
+
+    X, f, y = reg_data
+    alg = {
+        "unigrid": UniGridOnline(3),  # 3^2 = 9 grid points in 2D
+        "webscale": Webscale(8),  # <= first-batch size (k centers seed from batch 1)
+        "streamkmeans": StreamKmeans(capacity=24, radius2=0.25),
+    }[algname]
+    model = agp.OnlineSVGP.create(
+        agp.SqExponentialKernel(),
+        agp.GaussianLikelihood.create(0.05, opt_noise=False),
+        agp.AnalyticVI(),
+        Zalg=alg,
+        n_dim=2,
+        capacity=16,
+    )
+    state = None
+    for i in range(3):
+        xb, yb = X[i * 10 : (i + 1) * 10], y[i * 10 : (i + 1) * 10]
+        model, state = agp.online_train(model, xb, yb, state=state, iterations=5)
+    n_active = int(model.z_mask[0].sum())
+    if algname == "unigrid":
+        assert n_active == 9
+    elif algname == "webscale":
+        assert n_active == 8
+        assert float(model.z_counts[0].max()) > 1.0  # centers absorbed points
+    else:
+        assert 0 < n_active <= 24
+    mu = agp.predict_f(model, state, X)
+    assert float(jnp.mean(jnp.abs(mu - f))) < 1.0
+    e = agp.online_elbo(model, state, X[20:30], y[20:30])
+    assert np.isfinite(float(e))
