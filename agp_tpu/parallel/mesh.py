@@ -103,6 +103,57 @@ def sharded_train(model, X, y, iterations: int, mesh: Mesh | None = None, state=
     return model, state
 
 
+def mo_data_parallel_step(mesh: Mesh, axis_name: str = "data"):
+    """Data-parallel multi-output CAVI step: X and every task's y sharded
+    along the data axis, model/state replicated.  All cross-data reductions
+    of the MO step -- the [M]/[M,M] natural-gradient statistics per latent
+    AND the [R, Q] mixing-matrix gradient contractions (mo_update_A) -- are
+    B-axis einsums that GSPMD lowers to psums over `axis_name`."""
+    from ..inference.analytic_vi import pallas_override
+    from ..models.multioutput import mo_variational_update
+
+    data_spec = NamedSharding(mesh, P(axis_name))
+
+    @partial(
+        jax.jit,
+        # data_spec broadcasts over the ys tuple via pytree-prefix matching
+        in_shardings=(None, None, data_spec, data_spec),
+        out_shardings=None,
+    )
+    def step(model, state, x, ys):
+        with pallas_override("off"):
+            model, state = mo_variational_update(model, state, x, ys)
+        return model, state.replace(step=state.step + 1)
+
+    return step
+
+
+def mo_sharded_train(
+    model, X, ys, iterations: int, mesh: Mesh | None = None, state=None, key=None
+):
+    """Data-parallel training driver for MOVGP/MOSVGP: one jitted CAVI step
+    per iteration over the full sharded dataset (all tasks share X)."""
+    from ..models.base import as_2d, match_dtype
+    from ..models.multioutput import mo_init_state
+
+    mesh = make_mesh() if mesh is None else mesh
+    X = as_2d(X)
+    new_ys, liks = [], []
+    for lik, y_t in zip(model.likelihoods, ys):
+        y2, lik2 = lik.treat_labels(jnp.asarray(y_t))
+        new_ys.append(match_dtype(y2, X))
+        liks.append(lik2)
+    model = model.replace(likelihoods=tuple(liks))
+    sharded = shard_batch(mesh, X, *new_ys)
+    Xs, yss = sharded[0], tuple(sharded[1:])
+    if state is None:
+        state = mo_init_state(model, Xs, yss, key)
+    step = mo_data_parallel_step(mesh)
+    for _ in range(iterations):
+        model, state = step(model, state, Xs, yss)
+    return model, state
+
+
 def sharded_svi_step(mesh: Mesh, batch_per_device: int, axis_name: str = "data"):
     """Stochastic (minibatched) data-parallel CAVI step.
 

@@ -206,3 +206,56 @@ def test_sharded_fused_svi_step_matches_gspmd():
         np.asarray(sf.local_vars["theta"]), np.asarray(sx.local_vars["theta"]),
         rtol=1e-3, atol=1e-5,
     )
+
+
+def test_mo_data_parallel_matches_single_device():
+    """Multi-output data-parallel step == single-device mo_train to float
+    associativity (statistics + A-gradient contractions psum under GSPMD)."""
+    from agp_tpu.parallel.mesh import make_mesh, mo_sharded_train
+
+    kern = agp.SqExponentialKernel()
+    X, f1 = generate_f(64, 2, kern, key=jax.random.PRNGKey(11))
+    _, f2 = generate_f(64, 2, kern, key=jax.random.PRNGKey(12), X=X)
+    y_reg = np.asarray(f1)
+    y_cls = np.sign(np.asarray(f2))
+
+    def build():
+        return agp.MOSVGP.create(
+            agp.SqExponentialKernel(),
+            [agp.GaussianLikelihood.create(0.1, opt_noise=False), agp.LogisticLikelihood.create()],
+            agp.AnalyticVI(), X[:8], n_latent=2, optimiser=None,
+            Aoptimiser=None, key=jax.random.PRNGKey(3),
+        )
+
+    m1, s1 = agp.mo_train(build(), X, [y_reg, y_cls], iterations=10)
+
+    mesh = make_mesh(8)
+    m2, s2 = mo_sharded_train(build(), X, [y_reg, y_cls], iterations=10, mesh=mesh)
+
+    np.testing.assert_allclose(np.asarray(s1.mu), np.asarray(s2.mu), rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s1.Sigma), np.asarray(s2.Sigma), rtol=1e-8, atol=1e-9)
+
+
+def test_mo_data_parallel_with_A_updates():
+    """The mixing-matrix gradient step also reduces over the sharded data
+    axis; with Aoptimiser on, sharded == single-device still holds."""
+    from agp_tpu.parallel.mesh import make_mesh, mo_sharded_train
+
+    kern = agp.SqExponentialKernel()
+    X, f1 = generate_f(64, 2, kern, key=jax.random.PRNGKey(13))
+    _, f2 = generate_f(64, 2, kern, key=jax.random.PRNGKey(14), X=X)
+    ys = [np.asarray(f1), np.asarray(f2)]
+
+    def build():
+        return agp.MOSVGP.create(
+            agp.SqExponentialKernel(),
+            [agp.GaussianLikelihood.create(0.1, opt_noise=False),
+             agp.GaussianLikelihood.create(0.1, opt_noise=False)],
+            agp.AnalyticVI(), X[:8], n_latent=2, optimiser=None,
+            key=jax.random.PRNGKey(4),
+        )
+
+    m1, s1 = agp.mo_train(build(), X, ys, iterations=8)
+    m2, s2 = mo_sharded_train(build(), X, ys, iterations=8, mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(m1.A), np.asarray(m2.A), rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s1.mu), np.asarray(s2.mu), rtol=1e-8, atol=1e-9)
