@@ -138,12 +138,17 @@ def masked_kmat(model: OnlineSVGP):
     def one(k, Z, m):
         K = k.gram(Z, Z)
         mm = jnp.outer(m, m)
-        K = jnp.where(mm, K, 0.0) + jnp.diag(jnp.where(m, jitter(K.dtype), 1.0))
-        L_K = jnp.linalg.cholesky(K)
+        K = jnp.where(mm, K, 0.0) + jnp.diag(jnp.where(m, 0.0, 1.0))
+        # adaptive jitter ladder like compute_kmat (the base jitter is the
+        # first rung; escalates on f32 factorization failure)
+        L_K = linalg.safe_cholesky(K, jitter(K.dtype))
         K_inv = linalg.chol_inv(L_K)
         return L_K, K_inv
 
-    L_K, K_inv = jax.vmap(one)(model.kernel, model.Z, model.z_mask)
+    # HIGHEST: K_inv feeds the invDa = Sigma^-1 - K^-1 cancellation chain
+    # (see masked_kappa_a); [Mc, Mc]-sized, off the per-datapoint hot path
+    with jax.default_matmul_precision("highest"):
+        L_K, K_inv = jax.vmap(one)(model.kernel, model.Z, model.z_mask)
     return {"L_K": L_K, "K_inv": K_inv}
 
 
@@ -157,17 +162,27 @@ def masked_kappa(model: OnlineSVGP, x, kmat):
 
 
 def masked_kappa_a(model: OnlineSVGP, kmat):
-    """kappa_a = K(Za, Z) K^-1 and Ktilde_a = K_a - kappa_a Kab^T, masked."""
-    Kab = jax.vmap(lambda k, Za, Z: k.gram(Za, Z))(model.kernel, model.Za, model.Z)
-    mm = model.za_mask[:, :, None] * model.z_mask[:, None, :]
-    Kab = jnp.where(mm, Kab, 0.0)
-    kappa_a = jnp.einsum("lam,lmn->lan", Kab, kmat["K_inv"])
-    Ka = jax.vmap(lambda k, Za: k.gram(Za, Za))(model.kernel, model.Za)
-    mma = model.za_mask[:, :, None] * model.za_mask[:, None, :]
-    Ka = jnp.where(mma, Ka, 0.0) + jax.vmap(jnp.diag)(
-        jnp.where(model.za_mask, jitter(Ka.dtype), 0.0)
-    )
-    Ktilde_a = Ka - jnp.einsum("lan,lbn->lab", kappa_a, Kab)
+    """kappa_a = K(Za, Z) K^-1 and Ktilde_a = K_a - kappa_a Kab^T, masked.
+
+    Runs at HIGHEST matmul precision: the streaming-correction chain
+    (kappa_a, then kappa_a^T invDa kappa_a, then invDa = Sigma^-1 - K^-1 at
+    the next save-old) subtracts near-equal matrices, and the TPU's default
+    f32 matmul (bf16 passes, ~1e-3 relative) compounds across batches until
+    -2 eta2 loses positive-definiteness -- measured on v5e: default
+    precision degrades streaming rmse 0.03 -> 0.5 and NaNs the hyperopt
+    path by batch ~6; HIGHEST here (the [Mc, Mc]-sized ops only, not the
+    [B, Mc] data-batch work) restores CPU-grade accuracy."""
+    with jax.default_matmul_precision("highest"):
+        Kab = jax.vmap(lambda k, Za, Z: k.gram(Za, Z))(model.kernel, model.Za, model.Z)
+        mm = model.za_mask[:, :, None] * model.z_mask[:, None, :]
+        Kab = jnp.where(mm, Kab, 0.0)
+        kappa_a = jnp.einsum("lam,lmn->lan", Kab, kmat["K_inv"])
+        Ka = jax.vmap(lambda k, Za: k.gram(Za, Za))(model.kernel, model.Za)
+        mma = model.za_mask[:, :, None] * model.za_mask[:, None, :]
+        Ka = jnp.where(mma, Ka, 0.0) + jax.vmap(jnp.diag)(
+            jnp.where(model.za_mask, jitter(Ka.dtype), 0.0)
+        )
+        Ktilde_a = Ka - jnp.einsum("lan,lbn->lab", kappa_a, Kab)
     return kappa_a, Ktilde_a
 
 
@@ -187,7 +202,7 @@ def save_old_parameters(model: OnlineSVGP, state):
     prev_eta1 = state.eta1
 
     def logdets(Sigma_l, L_l):
-        L_S = jnp.linalg.cholesky(linalg.symmetrize(Sigma_l))
+        L_S = linalg.psd_safe_cholesky(linalg.symmetrize(Sigma_l))
         return -linalg.chol_logdet(L_S) + linalg.chol_logdet(L_l)
 
     ld = jax.vmap(logdets)(state.Sigma, kmat["L_K"])
@@ -230,7 +245,21 @@ def update_Z(model: OnlineSVGP, x):
 
 
 def online_variational_update(model: OnlineSVGP, state, x, y):
-    """Streaming natural-gradient update with previous-model correction."""
+    """Streaming natural-gradient update with previous-model correction.
+
+    The whole update runs at HIGHEST matmul precision: the streaming
+    correction chain subtracts near-equal matrices (invDa = Sigma^-1 -
+    K^-1; eta2 = -(stats + corr + K^-1/2)) and the TPU's default f32
+    matmul (bf16 passes, ~1e-3 relative) compounds the error across
+    batches -- measured on v5e: rmse 0.03 -> 0.5 and eventual NaN at
+    default precision.  Streaming batches are small ([B, Mc]-sized work),
+    so the 3-pass cost is noise next to the per-batch dispatch; the big-B
+    SVGP path keeps the default."""
+    with jax.default_matmul_precision("highest"):
+        return _online_variational_update_hp(model, state, x, y)
+
+
+def _online_variational_update_hp(model: OnlineSVGP, state, x, y):
     kmat = state.kmat
     _, kappa, Ktilde = masked_kappa(model, x, kmat)
     mu_f = jnp.einsum("lbm,lm->lb", kappa, state.mu)
@@ -254,7 +283,19 @@ def online_variational_update(model: OnlineSVGP, state, x, y):
         + jnp.einsum("lam,la->lm", kappa_a, prev["prev_eta1"])
     )
     stat2 = jnp.einsum("lbm,lb,lbn->lmn", kappa, gs, kappa)
-    corr2 = jnp.einsum("lam,lab,lbn->lmn", kappa_a, prev["invDa"], kappa_a) / 2.0
+    # HIGHEST: corr2 must stay PSD against the invDa cancellation (see
+    # masked_kappa_a); stat2 indefiniteness at default precision is
+    # absorbed by the K^-1/2 term and the safe conversion below
+    corr2 = (
+        jnp.einsum(
+            "lam,lab,lbn->lmn",
+            kappa_a,
+            prev["invDa"],
+            kappa_a,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        / 2.0
+    )
     eta2 = -(stat2 + corr2 + 0.5 * K_inv)
     eta2 = linalg.symmetrize(eta2)
     # keep inactive slots at their init convention so nat_to_moments is
@@ -268,13 +309,20 @@ def online_variational_update(model: OnlineSVGP, state, x, y):
     )
     from ..inference.analytic_vi import _fast_moments_enabled
 
+    # safe=True / nat_to_moments_safe: the -2 eta2 here includes the
+    # kappa_a^T invDa kappa_a streaming correction, which TPU f32 matmul
+    # rounding can push slightly indefinite right after a Z update; the
+    # zero-first jitter ladder recovers instead of NaN-ing the chain
+    # (exact whenever the plain factorization succeeds).
     if _fast_moments_enabled(eta1.shape[-1]):
         # warm-started Newton-Schulz (see ops/linalg.py); after a Z update
         # the natural params jump and the residual guard falls back to the
         # exact Cholesky path automatically.
-        mu, Sigma = linalg.nat_to_moments_warm_batched(eta1, eta2, state.Sigma)
+        mu, Sigma = linalg.nat_to_moments_warm_batched(
+            eta1, eta2, state.Sigma, safe=True
+        )
     else:
-        mu, Sigma = jax.vmap(linalg.nat_to_moments)(eta1, eta2)
+        mu, Sigma = jax.vmap(linalg.nat_to_moments_safe)(eta1, eta2)
     return model, state.replace(
         eta1=eta1, eta2=eta2, mu=mu, Sigma=Sigma, local_vars=local
     )
@@ -350,23 +398,30 @@ def online_train(model: OnlineSVGP, X, y, state=None, iterations: int = 20, key=
                 "prev_L_a": jnp.zeros((model.n_latent,), dtype),
             },
         )
-    else:
-        model, state = jax.jit(save_old_parameters)(model, state)
-        model = jax.jit(update_Z)(model, X)
-        state = state.replace(kmat=masked_kmat(model))
-        # new batch size may differ: re-init local vars
-        state = state.replace(
-            local_vars=model.likelihood.init_local_vars(B, dtype)
-        )
-
-    step = jax.jit(_online_step)
     do_hyper = model.optimiser is not None
-    hyper = jax.jit(_online_hyper_step) if do_hyper else None
+    if not do_hyper:
+        # fuse the WHOLE streaming batch -- save-old, inducing-set update,
+        # kernel-matrix refresh, local-var re-init and all CAVI iterations
+        # -- into one jitted program: ONE host dispatch per batch (the
+        # remote-dispatch latency otherwise dominates the small per-batch
+        # device work; measured 2.3x on v5e, see RESULTS.md)
+        if first:
+            model, state = _online_steps(model, state, X, y, iterations)
+        else:
+            model, state = _online_batch(model, state, X, y, iterations)
+        return model, state
+
+    if not first:
+        # one fused prologue dispatch (save-old -> update_Z -> kernel
+        # matrices -> fresh local vars); the module-level jits below are
+        # created ONCE -- a fresh jax.jit(...) wrapper per driver call would
+        # retrace (and over a remote backend recompile) every batch
+        model, state = _online_prologue(model, state, X)
     for i in range(1, iterations + 1):
-        model, state = step(model, state, X, y)
-        if do_hyper and i % model.atfrequency == 0 and i >= 3 and i != iterations:
-            model, state = hyper(model, state, X, y)
-    state = state.replace(kmat=masked_kmat(model))
+        model, state = _online_step_jit(model, state, X, y)
+        if i % model.atfrequency == 0 and i >= 3 and i != iterations:
+            model, state = _online_hyper_jit(model, state, X, y)
+    state = state.replace(kmat=_masked_kmat_jit(model))
     return model, state
 
 
@@ -375,10 +430,60 @@ def _online_step(model, state, X, y):
     return model, state.replace(step=state.step + 1)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(4,))
+def _online_steps(model, state, X, y, n: int):
+    def body(carry, _):
+        m, s = carry
+        return _online_step(m, s, X, y), None
+
+    (model, state), _ = jax.lax.scan(body, (model, state), None, length=n)
+    return model, state
+
+
+@jax.jit
+def _online_prologue(model, state, X):
+    """Between-batch bookkeeping as one program: save-old -> update_Z ->
+    masked kernel matrices -> fresh local vars."""
+    model, state = save_old_parameters(model, state)
+    model = update_Z(model, X)
+    return model, state.replace(
+        kmat=masked_kmat(model),
+        local_vars=model.likelihood.init_local_vars(X.shape[0], X.dtype),
+    )
+
+
 def _online_hyper_step(model, state, X, y):
     from ..training.autotuning import hyper_step
 
     return hyper_step(model, state, X, y)
+
+
+_online_step_jit = jax.jit(_online_step)
+_online_hyper_jit = jax.jit(_online_hyper_step)
+_masked_kmat_jit = jax.jit(masked_kmat)
+
+
+@_partial(jax.jit, static_argnums=(4,))
+def _online_batch(model, state, X, y, n: int):
+    """One fused streaming batch (non-first, no hyperopt): save-old ->
+    update_Z -> masked kernel matrices -> fresh local vars -> n CAVI
+    iterations, all in one program."""
+    model, state = save_old_parameters(model, state)
+    model = update_Z(model, X)
+    state = state.replace(
+        kmat=masked_kmat(model),
+        local_vars=model.likelihood.init_local_vars(X.shape[0], X.dtype),
+    )
+
+    def body(carry, _):
+        m, s = carry
+        return _online_step(m, s, X, y), None
+
+    (model, state), _ = jax.lax.scan(body, (model, state), None, length=n)
+    return model, state
 
 
 def online_elbo(model: OnlineSVGP, state, x, y):

@@ -58,6 +58,36 @@ def safe_cholesky(K: jnp.ndarray, jitt: float | None = None) -> jnp.ndarray:
     return jnp.linalg.cholesky(K + j_star * eye)
 
 
+def psd_safe_cholesky(A: jnp.ndarray, base: float | None = None) -> jnp.ndarray:
+    """Cholesky of a matrix that is PD by construction (e.g. -2 eta2, a sum
+    of PSD statistics and a PD prior precision) but can be pushed slightly
+    indefinite by f32/TPU-matmul rounding.  Unlike :func:`safe_cholesky`
+    (whose first rung already adds the base jitter -- the convention for
+    kernel grams), this ladder STARTS AT ZERO: exact whenever the plain
+    factorization succeeds, escalating base*10^k only on NaN."""
+    if base is None:
+        base = jitter(A.dtype)
+    M = A.shape[-1]
+    eye = jnp.eye(M, dtype=A.dtype)
+    Asg = jax.lax.stop_gradient(A)
+
+    def jit_at(i):
+        return jnp.where(
+            i == 0, jnp.asarray(0.0, A.dtype), base * 10.0 ** (i - 1)
+        ).astype(A.dtype)
+
+    def ok(i):
+        return jnp.logical_not(
+            jnp.any(jnp.isnan(jnp.linalg.cholesky(Asg + jit_at(i) * eye)))
+        )
+
+    def cond(i):
+        return jnp.logical_and(jnp.logical_not(ok(i)), i < 5)
+
+    i_star = jax.lax.while_loop(cond, lambda i: i + 1, jnp.zeros([], jnp.int32))
+    return jnp.linalg.cholesky(A + jit_at(i_star) * eye)
+
+
 def chol_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Solve ``A x = B`` given the lower Cholesky factor ``L`` of ``A``."""
     y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
@@ -177,6 +207,7 @@ def nat_to_moments_warm_batched(
     Sigma_prev: jnp.ndarray,
     schulz_iters: int = 4,
     rho_max: float = 0.35,
+    safe: bool = False,
 ):
     """[L, ...] batched :func:`nat_to_moments_warm`.
 
@@ -185,7 +216,15 @@ def nat_to_moments_warm_batched(
     executes BOTH branches for every latent, costing more than the Cholesky
     alone.  One early latent falling back sends the whole stack down the
     exact path -- correct either way, and the warm start is good for all
-    latents within a few iterations."""
+    latents within a few iterations.
+
+    safe=True routes the Cholesky fallback through the adaptive jitter
+    ladder (:func:`safe_cholesky`).  The streaming/online natural
+    parameters include the kappa_a^T invDa kappa_a old-posterior
+    correction, which TPU f32 matmul rounding can push slightly indefinite
+    right after an inducing-set update -- the plain factorization then NaNs
+    the whole chain, while the ladder recovers with the smallest jitter
+    that restores positive-definiteness (exact whenever no rung fires)."""
     M = eta1.shape[-1]
     I = jnp.eye(M, dtype=eta1.dtype)
     A = -2.0 * symmetrize(eta2)
@@ -204,13 +243,27 @@ def nat_to_moments_warm_batched(
 
     def chol(_):
         def one(a):
-            L = jnp.linalg.cholesky(0.5 * a)
+            L = psd_safe_cholesky(0.5 * a) if safe else jnp.linalg.cholesky(0.5 * a)
             return symmetrize(0.5 * chol_solve(L, I))
 
         return jax.vmap(one)(A)
 
-    Sigma = jax.lax.cond(rho0 < rho_max, schulz, chol, None)
+    # a NaN anywhere in the residual must take the exact/ladder branch, not
+    # the (NaN-propagating) Schulz iteration: use >= on the complement
+    Sigma = jax.lax.cond(~(rho0 >= rho_max) & jnp.isfinite(rho0), schulz, chol, None)
     mu = jnp.einsum("lmn,ln->lm", Sigma, eta1)
+    return mu, Sigma
+
+
+def nat_to_moments_safe(eta1: jnp.ndarray, eta2: jnp.ndarray):
+    """:func:`nat_to_moments` with the zero-first jitter ladder on the
+    -eta2 factorization (see `nat_to_moments_warm_batched(safe=True)`):
+    exact whenever the plain Cholesky succeeds."""
+    M = eta1.shape[-1]
+    L = psd_safe_cholesky(-(symmetrize(eta2)))
+    Sigma = 0.5 * chol_solve(L, jnp.eye(M, dtype=eta1.dtype))
+    Sigma = symmetrize(Sigma)
+    mu = Sigma @ eta1
     return mu, Sigma
 
 

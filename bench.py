@@ -222,6 +222,34 @@ def bench_extra():
     float(jnp.sum(s))
     dt = _time.perf_counter() - t0
     rows["gibbs_logistic_n2048_4chains_steps_per_s"] = (S + 50) * C / dt
+
+    # streaming OnlineSVGP (fused one-dispatch batch: save-old -> OIPS
+    # update_Z -> masked kmat -> 20 CAVI iters), Gaussian, B=256, cap=128
+    Bo, ITERS = 256, 20
+    Xo = jax.random.uniform(jax.random.fold_in(key, 7), (4096, 2), dtype) * 4 - 2
+    fo = jnp.sin(2 * Xo[:, 0]) + 0.5 * Xo[:, 1]
+    yo = fo + 0.05 * jax.random.normal(jax.random.fold_in(key, 8), fo.shape, dtype)
+
+    def stream_once(m, s):
+        for i in range(8):
+            m, s = agp.online_train(
+                m, Xo[i * Bo : (i + 1) * Bo], yo[i * Bo : (i + 1) * Bo],
+                state=s, iterations=ITERS,
+            )
+        return m, s
+
+    mo = agp.OnlineSVGP.create(
+        agp.SqExponentialKernel(), agp.GaussianLikelihood.create(0.05, opt_noise=False),
+        agp.AnalyticVI(), n_dim=2, capacity=128, optimiser=None,
+    )
+    mo, so = agp.online_train(mo, Xo[:Bo], yo[:Bo], iterations=ITERS)
+    for _ in range(2):  # compile + cache warmups
+        stream_once(mo, so)
+    t0 = _time.perf_counter()
+    m2, s2 = stream_once(mo, so)
+    float(jnp.sum(s2.mu))
+    dt = _time.perf_counter() - t0
+    rows["online_stream_b256_cap128_pts_per_s"] = 8 * Bo / dt
     return rows
 
 

@@ -169,3 +169,42 @@ def test_online_capacity_saturation():
     assert int(jnp.sum(om.z_mask[0])) == 16
     assert _finite((st.mu, st.Sigma))
     assert _finite(agp.predict_f(om, st, jnp.linspace(9.0, 10.0, 20)[:, None]))
+
+
+def test_psd_safe_cholesky_zero_first_ladder():
+    """The online-path eta->moments ladder: exact at rung 0 for a clean PD
+    matrix; recovers (instead of NaN) on a slightly-indefinite one, which
+    TPU f32 matmul rounding can produce in the streaming kappa_a^T invDa
+    kappa_a correction."""
+    from agp_tpu.ops import linalg
+
+    key = jax.random.PRNGKey(0)
+    W = jax.random.normal(key, (16, 16), dtype=jnp.float32)
+    A = W @ W.T + 0.5 * jnp.eye(16, dtype=jnp.float32)
+    L0 = jax.jit(linalg.psd_safe_cholesky)(A)
+    # rung 0 (zero jitter): identical to the plain factorization
+    np.testing.assert_allclose(
+        np.asarray(L0), np.asarray(jnp.linalg.cholesky(A)), rtol=0, atol=0
+    )
+    # slightly indefinite: plain NaNs, ladder recovers finite + consistent
+    evals, evecs = np.linalg.eigh(np.asarray(A, np.float64))
+    evals[0] = -1e-6
+    B = jnp.asarray(evecs @ np.diag(evals) @ evecs.T, jnp.float32)
+    assert bool(jnp.any(jnp.isnan(jnp.linalg.cholesky(B))))
+    LB = jax.jit(linalg.psd_safe_cholesky)(B)
+    assert bool(jnp.isfinite(LB).all())
+    rec = np.asarray(LB @ LB.T)
+    np.testing.assert_allclose(rec, np.asarray(B), atol=1e-2)  # small-jitter recovery
+
+    # nat_to_moments_safe: same recovery on the eta2 side
+    eta2 = -0.5 * B
+    eta1 = jnp.ones((16,), jnp.float32)
+    mu, Sigma = jax.jit(linalg.nat_to_moments_safe)(eta1, eta2)
+    assert bool(jnp.isfinite(mu).all() and jnp.isfinite(Sigma).all())
+
+    # warm_batched(safe=True) with a far warm start must take the ladder,
+    # not propagate NaN through the Schulz branch
+    mu_b, Sigma_b = jax.jit(
+        lambda e1, e2, S: linalg.nat_to_moments_warm_batched(e1, e2, S, safe=True)
+    )(eta1[None], eta2[None], jnp.eye(16, dtype=jnp.float32)[None] * 100.0)
+    assert bool(jnp.isfinite(mu_b).all() and jnp.isfinite(Sigma_b).all())
