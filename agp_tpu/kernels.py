@@ -36,11 +36,19 @@ def _use_bf16_gram() -> bool:
 def sq_dist(X: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray:
     """Pairwise squared Euclidean distance via the matmul identity.
 
-    With AGP_TPU_BF16_GRAM=1 the cross-term matmul runs in bfloat16 with
-    float32 accumulation (2x MXU rate); the norm terms stay f32 so the
-    diagonal is exact.  Off by default: ~1e-2 relative error in the Gram is
-    usually harmless for CAVI (a fixed-point iteration) but changes ELBO
-    values slightly."""
+    The cross-term dot runs at HIGHEST matmul precision: xx + zz - 2 xz is
+    a catastrophic cancellation, and the TPU's DEFAULT f32 matmul (bf16
+    passes, ~1e-3 relative) perturbs the Gram enough to wreck
+    ill-conditioned cases -- measured on v5e: dense N=512 heteroscedastic
+    rmse 0.32 -> 28.9, and SVGP hyperopt from a long-lengthscale init
+    (near-singular Kmm) fails to converge.  The D-axis contraction is tiny
+    (D = 2..20) next to the M-axis matmuls, so the 3-pass cost is noise.
+
+    With AGP_TPU_BF16_GRAM=1 the cross-term matmul instead runs in
+    bfloat16 with float32 accumulation (2x MXU rate); the norm terms stay
+    f32 so the diagonal is exact.  Off by default: ~1e-2 relative error in
+    the Gram is usually harmless for well-conditioned sparse CAVI (a
+    fixed-point iteration) but unsafe for dense/ill-conditioned grams."""
     xx = jnp.sum(X * X, axis=-1)
     zz = jnp.sum(Z * Z, axis=-1)
     if _use_bf16_gram() and X.dtype == jnp.float32:
@@ -50,7 +58,7 @@ def sq_dist(X: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray:
             preferred_element_type=jnp.float32,
         )
     else:
-        xz = X @ Z.T
+        xz = jnp.dot(X, Z.T, precision=jax.lax.Precision.HIGHEST)
     d2 = xx[:, None] + zz[None, :] - 2.0 * xz
     return jnp.maximum(d2, 0.0)
 
@@ -164,7 +172,8 @@ class LinearKernel(Kernel):
 
     def gram(self, X, Z=None):
         Z = X if Z is None else Z
-        return self.variance * (X @ Z.T) + self.bias
+        xz = jnp.dot(X, Z.T, precision=jax.lax.Precision.HIGHEST)
+        return self.variance * xz + self.bias
 
     def diag(self, X):
         return self.variance * jnp.sum(X * X, axis=-1) + self.bias
@@ -177,7 +186,8 @@ class PolynomialKernel(Kernel):
 
     def gram(self, X, Z=None):
         Z = X if Z is None else Z
-        return self.variance * (X @ Z.T + self.bias) ** self.degree
+        xz = jnp.dot(X, Z.T, precision=jax.lax.Precision.HIGHEST)
+        return self.variance * (xz + self.bias) ** self.degree
 
     def diag(self, X):
         return self.variance * (jnp.sum(X * X, axis=-1) + self.bias) ** self.degree

@@ -22,6 +22,29 @@ import jax.numpy as jnp
 from ..config import jitter
 
 
+def _highest_precision(fn):
+    """Run fn's trace at HIGHEST matmul precision.
+
+    Everything in this module is [M, M]-scale setup/conversion work
+    (factorizations, triangular solves, inverses, eta <-> moments), NOT the
+    per-datapoint B-axis matmuls -- so the 3-pass f32 cost is negligible.
+    It is also where low precision is catastrophic on TPU: the default f32
+    matmul (bf16 passes) inside XLA's blocked TriangularSolve/inverse gives
+    O(1) errors on ill-conditioned 64x64 kernel matrices (measured v5e:
+    K_inv max-abs error 1.44 vs CPU; SVGP logistic accuracy 0.99 -> 0.73).
+    Dot/solve transpose rules inherit the primal precision, so gradients
+    through these ops are covered too."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **kw)
+
+    return wrapped
+
+
+@_highest_precision
 def safe_cholesky(K: jnp.ndarray, jitt: float | None = None) -> jnp.ndarray:
     """Lower Cholesky factor of ``K + jitt*I`` with an adaptive jitter
     ladder: if the factorization fails (NaNs -- common for large-N RBF
@@ -58,6 +81,7 @@ def safe_cholesky(K: jnp.ndarray, jitt: float | None = None) -> jnp.ndarray:
     return jnp.linalg.cholesky(K + j_star * eye)
 
 
+@_highest_precision
 def psd_safe_cholesky(A: jnp.ndarray, base: float | None = None) -> jnp.ndarray:
     """Cholesky of a matrix that is PD by construction (e.g. -2 eta2, a sum
     of PSD statistics and a PD prior precision) but can be pushed slightly
@@ -88,12 +112,14 @@ def psd_safe_cholesky(A: jnp.ndarray, base: float | None = None) -> jnp.ndarray:
     return jnp.linalg.cholesky(A + jit_at(i_star) * eye)
 
 
+@_highest_precision
 def chol_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Solve ``A x = B`` given the lower Cholesky factor ``L`` of ``A``."""
     y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
 
+@_highest_precision
 def chol_inv(L: jnp.ndarray) -> jnp.ndarray:
     """Inverse of ``A`` from its lower Cholesky factor, symmetrized."""
     A_inv = chol_solve(L, jnp.eye(L.shape[-1], dtype=L.dtype))
@@ -105,6 +131,7 @@ def chol_logdet(L: jnp.ndarray) -> jnp.ndarray:
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
 
 
+@_highest_precision
 def invquad(L: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """x^T A^-1 x given the lower Cholesky factor of A
     (reference: functions/utils.jl `invquad`)."""
@@ -137,6 +164,7 @@ def kappa_diag_theta_kappa(kappa: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarra
     )
 
 
+@_highest_precision
 def nat_to_moments(eta1: jnp.ndarray, eta2: jnp.ndarray):
     """Convert natural parameters to (mu, Sigma):
     Sigma = -1/2 eta2^-1, mu = Sigma eta1
@@ -152,6 +180,7 @@ def nat_to_moments(eta1: jnp.ndarray, eta2: jnp.ndarray):
     return mu, Sigma
 
 
+@_highest_precision
 def nat_to_moments_warm(
     eta1: jnp.ndarray,
     eta2: jnp.ndarray,
@@ -201,6 +230,7 @@ def nat_to_moments_warm(
     return Sigma @ eta1, Sigma
 
 
+@_highest_precision
 def nat_to_moments_warm_batched(
     eta1: jnp.ndarray,
     eta2: jnp.ndarray,
@@ -255,6 +285,7 @@ def nat_to_moments_warm_batched(
     return mu, Sigma
 
 
+@_highest_precision
 def nat_to_moments_safe(eta1: jnp.ndarray, eta2: jnp.ndarray):
     """:func:`nat_to_moments` with the zero-first jitter ladder on the
     -eta2 factorization (see `nat_to_moments_warm_batched(safe=True)`):
@@ -267,6 +298,7 @@ def nat_to_moments_safe(eta1: jnp.ndarray, eta2: jnp.ndarray):
     return mu, Sigma
 
 
+@_highest_precision
 def moments_to_nat(mu: jnp.ndarray, Sigma: jnp.ndarray):
     """Inverse of :func:`nat_to_moments`: eta1 = Sigma^-1 mu, eta2 = -1/2 Sigma^-1."""
     L = jnp.linalg.cholesky(symmetrize(Sigma))

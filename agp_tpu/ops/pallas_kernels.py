@@ -46,6 +46,27 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _dot3(a, b):
+    """Hand-rolled 3-pass bf16 matmul (the "HIGH" algorithm, which Mosaic
+    does not expose): split each f32 operand into a bf16 high part and a
+    bf16 residual, then a_hi b_hi + a_hi b_lo + a_lo b_hi with f32
+    accumulation.  ~f32-quality products at 3x the bf16 MXU rate -- used for
+    the in-kernel kappa = Knm K^-1, whose internal cancellation makes
+    1-pass bf16 (Mosaic's f32 default) catastrically wrong and 6-pass
+    (HIGHEST) needlessly slow (measured: the fused tier halved at M=512)."""
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(u, v):
+        return jax.lax.dot_general(
+            u, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+
+
 # ------------------------------------------------------------- fused kappa
 def _gram(x, z, var, kind):
     """Stationary gram block k(x, z) [B, M]; the single source of truth for
@@ -53,7 +74,14 @@ def _gram(x, z, var, kind):
     (AD backward path)."""
     xx = jnp.sum(x * x, axis=1, keepdims=True)
     zz = jnp.sum(z * z, axis=1, keepdims=True).T
-    xz = jnp.dot(x, z.T, preferred_element_type=jnp.float32)
+    # HIGHEST: xx + zz - 2 xz cancels catastrophically; 1-pass-bf16 f32
+    # matmuls corrupt ill-conditioned grams (see kernels.sq_dist).  The
+    # D-axis contraction is tiny, so 6-pass costs nothing (Mosaic supports
+    # only DEFAULT/HIGHEST; the big kappa dot uses the hand-rolled _dot3).
+    xz = jnp.dot(
+        x, z.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     r2 = jnp.maximum(xx + zz - 2.0 * xz, 0.0)
     if kind == "rbf":
         return var * jnp.exp(-0.5 * r2)
@@ -76,7 +104,7 @@ def _kappa_kernel(x_ref, z_ref, kinv_ref, params_ref, kappa_ref, ktilde_ref, *, 
     var = params_ref[1]
     jitt = params_ref[2]
     knm = _gram(x_ref[:] / ls, z_ref[:] / ls, var, kind)
-    kappa = jnp.dot(knm, kinv_ref[:], preferred_element_type=jnp.float32)
+    kappa = _dot3(knm, kinv_ref[:])
     kappa_ref[:] = kappa
     # Ktilde = var + jitt - diag(kappa Knm^T); kept [TB, 1] -- 1-D operands
     # hit XLA/Mosaic layout mismatches on TPU
@@ -92,7 +120,9 @@ def _kappa_xla_twin(X, Z, K_inv, lengthscale, variance, jitt, kind):
     latent_moments -> fused_kappa (training/autotuning.py), so the custom
     VJP recomputes this twin's linearization in the backward pass."""
     knm = _gram(X / lengthscale, Z / lengthscale, variance, kind)
-    kappa = jnp.dot(knm, K_inv, preferred_element_type=jnp.float32)
+    # same 3-pass product as the in-kernel path (exact parity with the
+    # fused forward; see _dot3)
+    kappa = _dot3(knm, K_inv)
     ktilde = jnp.maximum(
         variance + jitt - jnp.sum(kappa * knm, axis=1), 1e-12
     )
@@ -179,7 +209,7 @@ def _kappa_moments_batched_kernel(
     var = params_ref[l, 1]
     jitt = params_ref[l, 2]
     knm = _gram(x_ref[:] / ls, z_ref[0] / ls, var, kind)
-    kappa = jnp.dot(knm, kinv_ref[0], preferred_element_type=jnp.float32)
+    kappa = _dot3(knm, kinv_ref[0])  # 3-pass: see _dot3
     ktilde = jnp.maximum(
         var + jitt - jnp.sum(kappa * knm, axis=1, keepdims=True), 1e-12
     )
@@ -430,7 +460,9 @@ def _cavi_fused_kernel(
     else:
         r = jnp.sqrt(jnp.maximum(r2, 1e-36))
         knm = var * jnp.exp(-r)
-    kappa = dot32(knm, kinv_ref[:])
+    # kappa via 3-pass even in bf16 mode: the Knm K^-1 cancellation is
+    # catastrophic at 1-pass precision (see _dot3)
+    kappa = _dot3(knm, kinv_ref[:])
     ktilde = jnp.maximum(
         var + jitt - jnp.sum(kappa * knm, axis=1, keepdims=True), 1e-12
     )  # [TB, 1]

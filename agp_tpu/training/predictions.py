@@ -23,7 +23,20 @@ from ..ops import linalg
 
 @partial(jax.jit, static_argnames=("diag", "full_cov"))
 def _predict_f_var(model, state, X_test, diag: bool = True, full_cov: bool = False):
-    """Latent predictive mean/variance for variational models, [L, n]."""
+    """Latent predictive mean/variance for variational models, [L, n].
+
+    Runs at HIGHEST matmul precision: the chain k* K^-1 (I - Sigma K^-1) k*^T
+    cancels internally (K_inv entries are O(cond(K)) while the predictive
+    moments are O(1)); at the TPU's default f32 matmul precision the error
+    reaches O(1) for ill-conditioned kernel matrices -- measured on v5e, the
+    dense N=512 heteroscedastic predictive rmse was 28.9 at default vs 0.32
+    at HIGHEST (training identical; the *prediction* was garbage).  These
+    are per-test-point matmuls off the training hot loop."""
+    with jax.default_matmul_precision("highest"):
+        return _predict_f_var_hp(model, state, X_test, diag, full_cov)
+
+
+def _predict_f_var_hp(model, state, X_test, diag, full_cov):
     Z = model.Z  # [L, M, D] (train inputs for full models)
     k_star = batch_gram(model.kernel, X_test, Z)  # [L, n, M]
     K_inv = state.kmat["K_inv"]
@@ -56,6 +69,11 @@ def _predict_f_var(model, state, X_test, diag: bool = True, full_cov: bool = Fal
 
 @partial(jax.jit, static_argnames=("diag",))
 def _predict_f_gp(model: GP, state, X_test, diag=True):
+    return _predict_f_gp_hp(model, state, X_test, diag)
+
+
+@linalg._highest_precision
+def _predict_f_gp_hp(model: GP, state, X_test, diag=True):
     k_star = batch_gram(model.kernel, X_test, model.train_x)[0]  # [n, N]
     mu_f = k_star @ state.alpha
     L = state.chol_Sigma

@@ -1,0 +1,229 @@
+"""On-hardware acceptance sweep: the suite's accuracy oracles, re-run on
+the REAL TPU chip in f32.
+
+The CPU test suite runs in x64 and cannot catch TPU-specific numerics --
+e.g. the round-2 streaming bug where the TPU's default f32 matmul precision
+(bf16 passes) compounded error in the online corrections until the chain
+NaN'd, invisible on CPU.  This sweep drives every model family end-to-end
+through the public API on the tunneled chip with loose behavioral
+thresholds (reference test strategy, SURVEY.md section 4) and prints one
+PASS/FAIL JSON line per check plus a summary.
+
+Run: python benchmarks/tpu_acceptance.py          (~3-5 min warm cache)
+"""
+from __future__ import annotations
+
+import json
+import sys
+import traceback
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import agp_tpu as agp
+
+DTYPE = jnp.float32
+RESULTS = []
+
+
+def check(name):
+    def deco(fn):
+        def run():
+            try:
+                value, threshold, ok = fn()
+                RESULTS.append(
+                    {"check": name, "ok": bool(ok), "value": float(value),
+                     "threshold": threshold}
+                )
+            except Exception as e:  # noqa: BLE001 - report, don't abort sweep
+                traceback.print_exc()
+                RESULTS.append({"check": name, "ok": False, "error": repr(e)})
+            print(json.dumps(RESULTS[-1]), flush=True)
+
+        run.check_name = name
+        return run
+
+    return deco
+
+
+def _toy(n, d, key=0, ls=1.0):
+    X = jax.random.uniform(jax.random.PRNGKey(key), (n, d), dtype=DTYPE) * 4 - 2
+    f = jnp.sin(2 * X[:, 0]) + 0.5 * (X[:, 1] if d > 1 else 0.0)
+    return X, f
+
+
+@check("gp_exact_regression_rmse")
+def gp_exact():
+    X, f = _toy(400, 2)
+    y = np.asarray(f + 0.05 * jax.random.normal(jax.random.PRNGKey(1), f.shape, DTYPE))
+    m = agp.GP.create(X, y, agp.SqExponentialKernel(), noise=0.05, optimiser=None)
+    m, s = agp.train(m, iterations=3)
+    mu = agp.predict_f(m, s, X)
+    rmse = float(jnp.sqrt(jnp.mean((mu - f) ** 2)))
+    return rmse, "< 0.1", rmse < 0.1
+
+
+@check("svgp_logistic_accuracy")
+def svgp_logistic():
+    X, f = _toy(20_000, 2, key=2)
+    y = np.asarray(jnp.sign(f))
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+        agp.AnalyticSVI(1024), Z=X[:64], optimiser=None,
+    )
+    m, s = agp.train(m, X, y, iterations=500)
+    acc = float(jnp.mean((agp.predict_y(m, s, X[:4096]) > 0) == (jnp.asarray(y[:4096]) > 0)))
+    return acc, "> 0.93", acc > 0.93
+
+
+@check("svgp_hyperopt_lengthscale_moves")
+def svgp_hyperopt():
+    X, f = _toy(2000, 2, key=3)
+    y = np.asarray(f + 0.05 * jax.random.normal(jax.random.PRNGKey(4), f.shape, DTYPE))
+    import optax
+
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(3.0, DTYPE)),
+        agp.GaussianLikelihood.create(0.05, opt_noise=False),
+        agp.AnalyticVI(), Z=X[:32], optimiser=optax.adam(0.05), atfrequency=5,
+    )
+    m, s = agp.train(m, X, y, iterations=120)
+    ls = float(jnp.ravel(m.kernel.lengthscale)[0])
+    moved = abs(ls - 3.0) > 0.3 and np.isfinite(ls)
+    mu = agp.predict_f(m, s, X[:512])
+    rmse = float(jnp.sqrt(jnp.mean((mu - f[:512]) ** 2)))
+    return rmse, "< 0.25 and ls moved", rmse < 0.25 and moved
+
+
+@check("multiclass_logistic_softmax_accuracy")
+def multiclass():
+    key = jax.random.PRNGKey(5)
+    X = jax.random.normal(key, (8000, 2), DTYPE)
+    centers = jnp.asarray([[1.5, 0.0], [-1.5, 1.0], [0.0, -1.5]], DTYPE)
+    d2 = jnp.sum((X[:, None, :] - centers[None]) ** 2, -1)
+    y = np.asarray(jnp.argmin(d2, axis=1))
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticSoftMaxLikelihood.create(3),
+        agp.AnalyticSVI(512), Z=X[:48], optimiser=None,
+    )
+    m, s = agp.train(m, X, y, iterations=400)
+    pred = agp.predict_y(m, s, X[:2048])
+    acc = float(jnp.mean(pred == jnp.asarray(y[:2048])))
+    return acc, "> 0.85", acc > 0.85
+
+
+@check("heteroscedastic_rmse")
+def hetero():
+    X, f = _toy(3000, 1, key=6)
+    g = -1.5 + 1.2 * jnp.tanh(X[:, 0])
+    noise = jnp.sqrt(1.0 / (8.0 * jax.nn.sigmoid(g)))
+    y = np.asarray(f + noise * jax.random.normal(jax.random.PRNGKey(7), f.shape, DTYPE))
+    m = agp.VGP.create(
+        X[:512], y[:512], agp.SqExponentialKernel(),
+        agp.HeteroscedasticLikelihood.create(lam=8.0),
+        agp.AnalyticVI(), optimiser=None,
+    )
+    m, s = agp.train(m, iterations=60)
+    mu = agp.predict_f(m, s, X[:512])
+    rmse = float(jnp.sqrt(jnp.mean((mu[0] - f[:512]) ** 2)))
+    return rmse, "< 0.4", rmse < 0.4 and np.isfinite(rmse)
+
+
+@check("vstp_student_t_robust_rmse")
+def vstp():
+    X, f = _toy(400, 2, key=8)
+    y = np.array(f + 0.05 * jax.random.normal(jax.random.PRNGKey(9), f.shape, DTYPE))
+    y[::29] += 8.0  # outliers
+    m = agp.VStP.create(
+        X, y, agp.SqExponentialKernel(), agp.StudentTLikelihood.create(4.0),
+        agp.AnalyticVI(), nu=5.0, optimiser=None,
+    )
+    m, s = agp.train(m, iterations=60)
+    mu = agp.predict_f(m, s, X)
+    rmse = float(jnp.sqrt(jnp.mean((mu - f) ** 2)))
+    return rmse, "< 0.3", rmse < 0.3
+
+
+@check("online_stream_finite_and_accurate")
+def online():
+    X, f = _toy(4096, 2, key=10)
+    y = np.asarray(f + 0.05 * jax.random.normal(jax.random.PRNGKey(11), f.shape, DTYPE))
+    m = agp.OnlineSVGP.create(
+        agp.SqExponentialKernel(), agp.GaussianLikelihood.create(0.05, opt_noise=False),
+        agp.AnalyticVI(), n_dim=2, capacity=128, optimiser=None,
+    )
+    s = None
+    for i in range(16):
+        m, s = agp.online_train(m, X[i * 256:(i + 1) * 256], y[i * 256:(i + 1) * 256],
+                                state=s, iterations=20)
+    mu = agp.predict_f(m, s, X[:512])
+    rmse = float(jnp.sqrt(jnp.mean((mu - f[:512]) ** 2)))
+    return rmse, "< 0.15", rmse < 0.15
+
+
+@check("gibbs_vs_cavi_posterior_corr")
+def gibbs_cavi():
+    X, f = _toy(48, 2, key=12)
+    y = np.asarray(jnp.sign(f))
+    mv = agp.VGP.create(X, y, agp.SqExponentialKernel(),
+                        agp.LogisticLikelihood.create(), agp.AnalyticVI(), optimiser=None)
+    mv, sv = agp.train(mv, iterations=60)
+    mg = agp.MCGP.create(X, y, agp.SqExponentialKernel(),
+                         agp.LogisticLikelihood.create(), agp.GibbsSampling(n_burnin=200))
+    samples = agp.sample(mg, 600, key=jax.random.PRNGKey(13))
+    gmean = jnp.mean(samples, axis=0)[0]
+    corr = float(jnp.corrcoef(jnp.stack([sv.mu[0], gmean]))[0, 1])
+    return corr, "> 0.95", corr > 0.95
+
+
+@check("mo_mixed_likelihoods_finite")
+def mo():
+    X, f = _toy(512, 2, key=14)
+    y1 = np.asarray(f)
+    y2 = np.sign(np.asarray(f) - 0.2)
+    m = agp.MOSVGP.create(
+        agp.SqExponentialKernel(),
+        [agp.GaussianLikelihood.create(0.1, opt_noise=False), agp.LogisticLikelihood.create()],
+        agp.AnalyticVI(), X[:16], n_latent=2, optimiser=None,
+    )
+    m, s = agp.mo_train(m, X, [y1, y2], iterations=60)
+    mu, var = agp.mo_predict_f(m, s, X[:256])
+    rmse = float(jnp.sqrt(jnp.mean((mu[0] - f[:256]) ** 2)))
+    ok = rmse < 0.35 and bool(jnp.isfinite(mu).all() and jnp.isfinite(var).all())
+    return rmse, "< 0.35, all finite", ok
+
+
+@check("proba_y_calibrated_finite")
+def proba():
+    X, f = _toy(2000, 2, key=15)
+    y = np.asarray(jnp.sign(f))
+    m = agp.SVGP.create(agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+                        agp.AnalyticVI(), Z=X[:32], optimiser=None)
+    m, s = agp.train(m, X, y, iterations=100)
+    p = agp.proba_y(m, s, X[:1024])
+    inb = bool(jnp.all((p >= 0) & (p <= 1)))
+    # probabilities should separate the classes
+    auc_proxy = float(jnp.mean(p[jnp.asarray(y[:1024]) > 0]) - jnp.mean(p[jnp.asarray(y[:1024]) < 0]))
+    return auc_proxy, "> 0.3, p in [0,1]", inb and auc_proxy > 0.3
+
+
+CHECKS = [gp_exact, svgp_logistic, svgp_hyperopt, multiclass, hetero, vstp,
+          online, gibbs_cavi, mo, proba]
+
+
+def main():
+    print(f"backend: {jax.default_backend()}", flush=True)
+    names = sys.argv[1:]
+    for c in CHECKS:
+        if names and all(n not in c.check_name for n in names):
+            continue
+        c()
+    n_ok = sum(r["ok"] for r in RESULTS)
+    print(json.dumps({"summary": f"{n_ok}/{len(RESULTS)} checks pass",
+                      "all_ok": n_ok == len(RESULTS)}))
+    return 0 if n_ok == len(RESULTS) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
