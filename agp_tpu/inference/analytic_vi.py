@@ -65,6 +65,9 @@ def _kappa_precision():
     import os
 
     return {
+        # "default" is an escape hatch for measured-well-conditioned
+        # workloads only -- it is the silently-wrong mode the audit caught
+        "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[os.environ.get("AGP_TPU_KAPPA_PRECISION", "high")]

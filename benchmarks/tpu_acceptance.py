@@ -194,6 +194,24 @@ def mo():
     return rmse, "< 0.35, all finite", ok
 
 
+@check("fused_tier_m512_accuracy")
+def fused_tier():
+    """Exercises the auto-gated fused Pallas path (M >= 512) end-to-end,
+    including the 3-pass in-kernel kappa product (_dot3)."""
+    key = jax.random.PRNGKey(16)
+    X = jax.random.normal(key, (60_000, 8), DTYPE)
+    w = jax.random.normal(jax.random.PRNGKey(17), (8,), DTYPE)
+    y = np.asarray(jnp.sign(X @ w))
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(2.0, DTYPE)),
+        agp.LogisticLikelihood.create(),
+        agp.AnalyticSVI(8192, minibatch_sampling="slice"), Z=X[:512], optimiser=None,
+    )
+    m, s = agp.train(m, X, y, iterations=150)
+    acc = float(jnp.mean((agp.predict_y(m, s, X[:8192]) > 0) == (jnp.asarray(y[:8192]) > 0)))
+    return acc, "> 0.9", acc > 0.9
+
+
 @check("proba_y_calibrated_finite")
 def proba():
     X, f = _toy(2000, 2, key=15)
@@ -209,7 +227,7 @@ def proba():
 
 
 CHECKS = [gp_exact, svgp_logistic, svgp_hyperopt, multiclass, hetero, vstp,
-          online, gibbs_cavi, mo, proba]
+          online, gibbs_cavi, mo, fused_tier, proba]
 
 
 def main():
@@ -222,6 +240,13 @@ def main():
     n_ok = sum(r["ok"] for r in RESULTS)
     print(json.dumps({"summary": f"{n_ok}/{len(RESULTS)} checks pass",
                       "all_ok": n_ok == len(RESULTS)}))
+    if not names:  # full sweep: persist the machine-readable artifact
+        import os
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(here, "TPU_ACCEPTANCE.json"), "w") as fh:
+            json.dump({"backend": jax.default_backend(), "checks": RESULTS,
+                       "all_ok": n_ok == len(RESULTS)}, fh, indent=1)
     return 0 if n_ok == len(RESULTS) else 1
 
 
