@@ -194,6 +194,42 @@ def mo():
     return rmse, "< 0.35, all finite", ok
 
 
+@check("quadrature_vi_logistic_accuracy")
+def quad_vi():
+    """NumericalVI path (GH quadrature + PSD-backtracking Sigma updates).
+    Uses the reference's NumericalVI-level learning rate (Momentum(1e-3),
+    numericalVI.jl:15); the QuadratureVI ctor default (1e-5) is faithful to
+    the reference but far too slow for a convergence oracle."""
+    import optax
+
+    X, f = _toy(400, 2, key=18)
+    y = np.asarray(jnp.sign(f))
+    m = agp.VGP.create(X, y, agp.SqExponentialKernel(),
+                       agp.LogisticLikelihood.create(),
+                       agp.QuadratureVI(n_points=30, optimiser=optax.sgd(1e-3, momentum=0.9)),
+                       optimiser=None)
+    m, s = agp.train(m, iterations=300)
+    acc = float(jnp.mean((agp.predict_y(m, s, X) > 0) == (jnp.asarray(y) > 0)))
+    return acc, "> 0.9", acc > 0.9
+
+
+@check("nuts_vs_exact_posterior_corr")
+def nuts():
+    """Whitened iterative NUTS against the closed-form conjugate posterior."""
+    X, f = _toy(64, 2, key=19)
+    y = np.asarray(f + 0.1 * jax.random.normal(jax.random.PRNGKey(20), f.shape, DTYPE))
+    mg = agp.MCGP.create(X, y, agp.SqExponentialKernel(),
+                         agp.GaussianLikelihood.create(0.01, opt_noise=False),
+                         agp.HMCSampling(n_burnin=300))
+    fs = agp.sample_nuts(mg, 700, key=jax.random.PRNGKey(21))
+    post_mean = jnp.mean(fs, axis=0)[0]
+    # exact conjugate posterior mean
+    K = agp.SqExponentialKernel().gram(X, X)
+    exact = K @ jnp.linalg.solve(K + 0.01 * jnp.eye(64), jnp.asarray(y))
+    corr = float(jnp.corrcoef(jnp.stack([post_mean, exact]))[0, 1])
+    return corr, "> 0.95", corr > 0.95
+
+
 @check("fused_tier_m512_accuracy")
 def fused_tier():
     """Exercises the auto-gated fused Pallas path (M >= 512) end-to-end,
@@ -227,7 +263,7 @@ def proba():
 
 
 CHECKS = [gp_exact, svgp_logistic, svgp_hyperopt, multiclass, hetero, vstp,
-          online, gibbs_cavi, mo, fused_tier, proba]
+          online, gibbs_cavi, mo, quad_vi, nuts, fused_tier, proba]
 
 
 def main():
