@@ -339,20 +339,29 @@ def latent_moments(model, state: TrainState, x, kmat):
 
 
 # ----------------------------------------------------------------- CAVI step
-def variational_update(model, state: TrainState, x, y) -> Tuple[Any, TrainState]:
+def variational_update(model, state: TrainState, x, y, w=None) -> Tuple[Any, TrainState]:
     """One blockwise coordinate-ascent update (E-step + natural gradient +
     global update), reference analyticVI.jl:62-85.
 
     On TPU in the large-M regime the entire statistics pass (gram -> kappa
     -> moments -> E-step -> contractions) runs as ONE Pallas kernel; the
-    minibatch is read from HBM exactly once (see `_pallas_fused_spec`)."""
+    minibatch is read from HBM exactly once (see `_pallas_fused_spec`).
+
+    `w` ([B] of 0/1, optional) zero-weights padded rows out of every
+    cross-batch statistic -- used by the sharded full-batch drivers
+    (parallel/mesh.py) when N is not divisible by the mesh size.  The
+    statistics s1/stat2 are linear in the per-row gmu/gs, so masking those
+    (plus the likelihood-parameter sums, see Likelihood.local_updates)
+    makes the padded trajectory bit-equivalent to the unpadded one."""
     kmat = state.kmat
     if getattr(model, "is_tprior", False):
         from ..models.vstp import local_prior_updates
 
         state = local_prior_updates(model, state, x)
 
-    fused = _pallas_fused_spec(model)
+    # the fully-fused kernel runs its E-step in-kernel with no mask input;
+    # weighted (padded) batches take the XLA path
+    fused = _pallas_fused_spec(model) if w is None else None
     if fused is not None:
         from ..ops import pallas_kernels as pk
 
@@ -412,11 +421,14 @@ def variational_update(model, state: TrainState, x, y) -> Tuple[Any, TrainState]
     mu_f, var_f, kappa = latent_moments(model, state, x, kmat)
 
     # E-step: closed-form update of q(omega)
-    lik, local = model.likelihood.local_updates(y, mu_f, var_f, state.local_vars)
+    lik, local = model.likelihood.local_updates(y, mu_f, var_f, state.local_vars, w=w)
     model = model.replace(likelihood=lik)
 
     gmu = lik.grad_e_mu(y, local)  # [L, B]
     gs = lik.grad_e_sigma(y, local)  # [L, B]
+    if w is not None:
+        gmu = gmu * w
+        gs = gs * w
 
     state = apply_natural_gradient(model, state.replace(local_vars=local), kappa, gmu, gs, x)
     return model, state

@@ -51,9 +51,16 @@ class Likelihood(struct.PyTreeNode):
         raise NotImplementedError
 
     def local_updates(
-        self, y: Array, mu: Array, var: Array, local: LocalVars
+        self, y: Array, mu: Array, var: Array, local: LocalVars, w: Array | None = None
     ) -> Tuple["Likelihood", LocalVars]:
-        """Closed-form E-step q(omega) update. mu/var: [L, B]."""
+        """Closed-form E-step q(omega) update. mu/var: [L, B].
+
+        `w` (optional, [B] of 0/1) marks padded rows in sharded full-batch
+        training (parallel/mesh.py::shard_batch): likelihoods whose E-step
+        updates a likelihood parameter from cross-batch sums (Gaussian
+        noise, Poisson/heteroscedastic rates) must exclude w==0 rows from
+        those sums; per-row local variables need no masking (the inference
+        engine zero-weights their gmu/gs contributions downstream)."""
         raise NotImplementedError
 
     def grad_e_mu(self, y: Array, local: LocalVars) -> Array:
@@ -111,6 +118,11 @@ class SingleLatentLikelihood(Likelihood):
     vectors (methods prefixed with ``_``); this class lifts them to the
     stacked [1, B] layout the inference engines use."""
 
+    # Subclasses whose _local_updates computes cross-batch sums that update
+    # likelihood parameters set this True and accept a `w` keyword; for all
+    # others the row mask is irrelevant inside the E-step (per-row ops).
+    _weighted_params = False
+
     # subclass hooks ------------------------------------------------------
     def _local_updates(self, y, mu, var, local):
         raise NotImplementedError
@@ -128,7 +140,9 @@ class SingleLatentLikelihood(Likelihood):
         raise NotImplementedError
 
     # lifted interface ----------------------------------------------------
-    def local_updates(self, y, mu, var, local):
+    def local_updates(self, y, mu, var, local, w=None):
+        if w is not None and self._weighted_params:
+            return self._local_updates(y, mu[0], var[0], local, w=w)
         return self._local_updates(y, mu[0], var[0], local)
 
     def grad_e_mu(self, y, local):

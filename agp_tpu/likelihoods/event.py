@@ -67,11 +67,17 @@ class PoissonLikelihood(SingleLatentLikelihood):
             "gamma": jnp.ones((batchsize,), dtype=dtype),
         }
 
-    def _local_updates(self, y, mu, var, local):
+    _weighted_params = True  # the rate MLE sums over the batch
+
+    def _local_updates(self, y, mu, var, local, w=None):
         c = sqrt_expec_square(mu, var)
         gamma = self.lam * safe_expcosh(-mu / 2.0, c / 2.0) / 2.0
         theta = (y + gamma) * jnp.tanh(c / 2.0) / (2.0 * c)
-        new_lam = jnp.sum(y) / jnp.sum(expectation(jax.nn.sigmoid, mu, var))
+        es = expectation(jax.nn.sigmoid, mu, var)
+        if w is None:
+            new_lam = jnp.sum(y) / jnp.sum(es)
+        else:  # exclude padded rows (see Likelihood.local_updates)
+            new_lam = jnp.sum(w * y) / jnp.sum(w * es)
         lik = self.replace(lam=new_lam)
         return lik, {**local, "c": c, "gamma": gamma, "theta": theta}
 

@@ -47,7 +47,7 @@ class HeteroscedasticLikelihood(Likelihood):
         ones = jnp.ones((batchsize,), dtype=dtype)
         return {"c": ones, "phi": ones, "gamma": ones, "theta": ones, "sigg": ones}
 
-    def local_updates(self, y, mu, var, local):
+    def local_updates(self, y, mu, var, local, w=None):
         mu_f, mu_g = mu[0], mu[1]
         var_f, var_g = var[0], var[1]
         phi = ((mu_f - y) ** 2 + var_f) / 2.0  # E[(f - y)^2] / 2
@@ -55,8 +55,13 @@ class HeteroscedasticLikelihood(Likelihood):
         sigg = safe_expcosh(-mu_g / 2.0, c / 2.0) / 2.0  # ~ E[sigma(-g)]
         gamma = self.lam * phi * sigg  # E[n]
         theta = (0.5 + gamma) * jnp.tanh(c / 2.0) / (2.0 * c)  # E[omega]
-        n = y.shape[0]
-        new_lam = jnp.maximum(n / (2.0 * jnp.sum(phi * (1.0 - sigg))), self.lam)
+        if w is None:
+            n = y.shape[0]
+            s = jnp.sum(phi * (1.0 - sigg))
+        else:  # exclude padded rows (see Likelihood.local_updates)
+            n = jnp.sum(w)
+            s = jnp.sum(w * phi * (1.0 - sigg))
+        new_lam = jnp.maximum(n / (2.0 * s), self.lam)
         lik = self.replace(lam=new_lam)
         return lik, {"c": c, "phi": phi, "gamma": gamma, "theta": theta, "sigg": sigg}
 

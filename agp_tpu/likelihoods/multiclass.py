@@ -103,7 +103,9 @@ class LogisticSoftMaxLikelihood(MultiClassLikelihood):
             "gamma": jnp.full((K, batchsize), 0.5, dtype=dtype),
         }
 
-    def local_updates(self, y, mu, var, local):
+    def local_updates(self, y, mu, var, local, w=None):
+        # w unused: all E-step quantities are per-datapoint (the gamma/alpha
+        # fixed point couples classes, not batch rows)
         yT = y.T  # [K, B]
         c = sqrt_expec_square(mu, var)  # [K, B]
         alpha, beta = local["alpha"], local["beta"]

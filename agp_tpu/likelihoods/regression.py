@@ -56,11 +56,18 @@ class GaussianLikelihood(SingleLatentLikelihood):
             local["state_sigma2"] = self.opt_noise.init(jnp.zeros_like(self.sigma2))
         return local
 
-    def _local_updates(self, y, mu, var, local):
+    _weighted_params = True  # noise learning sums over the batch
+
+    def _local_updates(self, y, mu, var, local, w=None):
         lik = self
         if self.opt_noise is not None:
-            n = y.shape[0]
-            grad = ((jnp.sum((y - mu) ** 2) + jnp.sum(var)) / self.sigma2 - n) / 2.0
+            if w is None:
+                n = y.shape[0]
+                ssq, svar = jnp.sum((y - mu) ** 2), jnp.sum(var)
+            else:  # exclude padded rows (see Likelihood.local_updates)
+                n = jnp.sum(w)
+                ssq, svar = jnp.sum(w * (y - mu) ** 2), jnp.sum(w * var)
+            grad = ((ssq + svar) / self.sigma2 - n) / 2.0
             # The reference applies this gradient directly in log space
             # (gaussian.jl:62-68): sigma2 <- exp(log sigma2 + opt(grad)).
             new_opt_state, delta = ascent_update(

@@ -116,13 +116,13 @@ def mo_mean_var_f(model, mu_q, var_q):
     return mu_f, var_f
 
 
-def mo_local_updates(model, ys, mu_f, var_f, local_list):
+def mo_local_updates(model, ys, mu_f, var_f, local_list, w=None):
     """Per-task E-steps over the flattened row axis."""
     new_liks, new_locals = [], []
     for (lik, y_t, lv), (s, e) in zip(
         zip(model.likelihoods, ys, local_list), model.row_slices()
     ):
-        lik2, lv2 = lik.local_updates(y_t, mu_f[s:e], var_f[s:e], lv)
+        lik2, lv2 = lik.local_updates(y_t, mu_f[s:e], var_f[s:e], lv, w=w)
         new_liks.append(lik2)
         new_locals.append(lv2)
     return tuple(new_liks), list(new_locals)
@@ -152,12 +152,14 @@ def mo_grad_latents(model, gmu_r, gs_r, mu_q):
     return g1, g2
 
 
-def mo_update_A(model, state, ys, mu_q, var_q, local_list):
+def mo_update_A(model, state, ys, mu_q, var_q, local_list, grads=None):
     """Gradient step on the mixing matrix + unit-norm row projection
-    (single_and_multi_output_utils.jl:87-118)."""
+    (single_and_multi_output_utils.jl:87-118).  `grads` passes precomputed
+    (possibly pad-row-masked) (gmu_r, gs_r); the A gradient is linear in
+    both, so masked rows drop out of the x1/x2 contractions too."""
     if model.Aoptimiser is None:
         return model, state
-    gmu_r, gs_r = mo_grad_rows(model, ys, local_list)
+    gmu_r, gs_r = mo_grad_rows(model, ys, local_list) if grads is None else grads
     A = model.A
     mix = jnp.einsum("rq,qb->rb", A, mu_q)
     cross = mix[:, None, :] - A[:, :, None] * mu_q[None, :, :]  # [R, Q, B]
@@ -174,21 +176,30 @@ def mo_update_A(model, state, ys, mu_q, var_q, local_list):
     return model.replace(A=A), state.replace(A_state=A_state)
 
 
-def mo_variational_update(model, state, x, ys):
+def mo_variational_update(model, state, x, ys, w=None):
     """Multi-output CAVI step (reference: analyticVI.jl:88-111 multioutput
     branch): per-task E-steps, mixing of gradient expectations onto the Q
-    shared latents, shared natural-gradient update, then the A step."""
+    shared latents, shared natural-gradient update, then the A step.
+
+    `w` ([B] of 0/1, optional) zero-weights padded rows out of every
+    cross-batch contraction (natural-gradient statistics AND the A
+    gradient) -- see analytic_vi.variational_update."""
     from ..inference.analytic_vi import apply_natural_gradient, latent_moments
 
     mu_q, var_q, kappa = latent_moments(model, state, x, state.kmat)
     mu_f, var_f = mo_mean_var_f(model, mu_q, var_q)
-    liks, local_list = mo_local_updates(model, ys, mu_f, var_f, state.local_vars)
+    liks, local_list = mo_local_updates(model, ys, mu_f, var_f, state.local_vars, w=w)
     model = model.replace(likelihoods=liks)
     state = state.replace(local_vars=list(local_list))
     gmu_r, gs_r = mo_grad_rows(model, ys, local_list)
+    if w is not None:
+        gmu_r = gmu_r * w
+        gs_r = gs_r * w
     g1, g2 = mo_grad_latents(model, gmu_r, gs_r, mu_q)
     state = apply_natural_gradient(model, state, kappa, g1, g2, x)
-    model, state = mo_update_A(model, state, ys, mu_q, var_q, local_list)
+    model, state = mo_update_A(
+        model, state, ys, mu_q, var_q, local_list, grads=(gmu_r, gs_r)
+    )
     return model, state
 
 

@@ -9,7 +9,19 @@ The reference is single-process with no distribution of any kind
   statistics kappa^T (rho grad_e_mu) ([M]) and kappa^T diag(theta) kappa
   ([M, M]) -- under jit+GSPMD these einsum contractions over the sharded
   batch axis lower to `psum`s over ICI;
-* eta1/eta2/mu/Sigma/kernel params are tiny ([M], [M,M]) and replicated.
+* eta1/eta2/mu/Sigma/kernel params are tiny ([M], [M,M]) and replicated;
+* iterations are chunked into on-device `lax.scan`s (one dispatch per
+  chunk, not per step) -- the same fusion the single-chip trainer uses
+  (training/train.py::_vi_steps); per-step host dispatch costs 5-16x at
+  small M (RESULTS.md).
+
+Padding contract: when N is not divisible by the mesh size, `shard_batch`
+pads the trailing shard and the drivers thread a 0/1 row mask through the
+update (analytic_vi.variational_update(w=...)), so every data point is
+counted exactly once -- trajectories are bit-equivalent (up to float
+reduction order) to single-device training on the unpadded data.  The
+reference counts every point once trivially (single process,
+inference/analyticVI.jl:160-180).
 
 Multi-host: the same program runs under `jax.distributed.initialize` with a
 host x chip mesh; the statistics psum rides ICI within a slice and DCN
@@ -32,19 +44,35 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
-    """Place arrays sharded along their leading (data) axis; pads to a
-    multiple of the mesh size if needed."""
+def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data", with_mask: bool = False):
+    """Place arrays sharded along their leading (data) axis, padding the
+    tail to a multiple of the mesh size.
+
+    with_mask=True additionally returns a [N_padded] 0/1 row mask (1 =
+    real data, 0 = pad), sharded the same way -- the drivers thread it
+    into the update so padded rows never enter any cross-batch statistic
+    (see the module docstring's padding contract)."""
     n = mesh.devices.size
+    lead = {jnp.shape(a)[0] for a in arrays}
+    if len(lead) != 1:
+        raise ValueError(f"arrays disagree on the leading (data) dim: {lead}")
+    n0 = lead.pop()
+    rem = (-n0) % n
     out = []
     for a in arrays:
         a = jnp.asarray(a)
-        rem = (-a.shape[0]) % n
         if rem:
             pad = jnp.repeat(a[:1], rem, axis=0)
             a = jnp.concatenate([a, pad], axis=0)
         spec = P(axis_name, *([None] * (a.ndim - 1)))
         out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    if with_mask:
+        dtype = jnp.asarray(arrays[0]).dtype
+        dtype = dtype if jnp.issubdtype(dtype, jnp.floating) else jnp.result_type(float)
+        mask = jnp.concatenate(
+            [jnp.ones((n0,), dtype), jnp.zeros((rem,), dtype)]
+        )
+        out.append(jax.device_put(mask, NamedSharding(mesh, P(axis_name))))
     return out[0] if len(out) == 1 else tuple(out)
 
 
@@ -54,38 +82,65 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def data_parallel_step(mesh: Mesh, axis_name: str = "data"):
-    """Build a jitted data-parallel CAVI step: X/y sharded along the data
-    axis, model/state replicated.  GSPMD turns the [M]/[M,M] statistic
-    contractions into psums over `axis_name` -- no manual collectives.
-    """
+def _n_pad(mesh: Mesh, N: int) -> int:
+    return (-N) % mesh.devices.size
+
+
+# --------------------------------------------------------- full-batch CAVI
+def _dp_body(model, state, x, y, w=None):
+    """One data-parallel CAVI step body (GSPMD: the statistic einsums over
+    the sharded batch axis lower to psums)."""
     from ..inference.analytic_vi import pallas_override, variational_update
 
-    data_spec = NamedSharding(mesh, P(axis_name))
-    repl = NamedSharding(mesh, P())
-
-    @partial(
-        jax.jit,
-        in_shardings=(None, None, data_spec, data_spec),
-        out_shardings=None,
-    )
-    def step(model, state, x, y):
-        # GSPMD cannot partition a pallas_call (opaque custom call): trace
-        # with the fused tier off; XLA's einsum contractions psum cleanly.
-        # The fused multi-chip path is sharded_fused_svi_step (shard_map).
-        with pallas_override("off"):
-            model, state = variational_update(model, state, x, y)
-        return model, state.replace(step=state.step + 1)
-
-    return step
+    # GSPMD cannot partition a pallas_call (opaque custom call): trace with
+    # the fused tier off; XLA's einsum contractions psum cleanly.  The
+    # fused multi-chip path is sharded_fused_svi_step (shard_map).
+    with pallas_override("off"):
+        model, state = variational_update(model, state, x, y, w=w)
+    return model, state.replace(step=state.step + 1)
 
 
-def sharded_train(model, X, y, iterations: int, mesh: Mesh | None = None, state=None, key=None):
-    """Data-parallel training driver: one jitted CAVI step per iteration
-    over the full sharded dataset (the SVI analog shards each minibatch)."""
+def data_parallel_step(mesh: Mesh, axis_name: str = "data"):
+    """Build a jitted data-parallel CAVI step: X/y/mask sharded along the
+    data axis, model/state replicated.  GSPMD turns the [M]/[M,M] statistic
+    contractions into psums over `axis_name` -- no manual collectives.
+
+    The step takes (model, state, x, y, w) with w an optional 0/1 row mask
+    (None when N divides the mesh size)."""
+    return jax.jit(_dp_body)
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _dp_steps(model, state, x, y, w, n: int):
+    """n data-parallel CAVI steps fused into one on-device lax.scan --
+    one host dispatch per chunk (the single-chip trainer's _vi_steps
+    pattern applied to the sharded program)."""
+
+    def body(carry, _):
+        m, s = carry
+        return _dp_body(m, s, x, y, w), None
+
+    (model, state), _ = jax.lax.scan(body, (model, state), None, length=n)
+    return model, state
+
+
+def sharded_train(
+    model, X, y, iterations: int, mesh: Mesh | None = None, state=None, key=None,
+    chunk: int = 500,
+):
+    """Data-parallel training driver: full-batch CAVI over the sharded
+    dataset, `chunk` iterations per device dispatch (the SVI analog shards
+    each minibatch).  Sparse models only: a dense (VGP) posterior has
+    latent dimension N, which the data-axis layout would shard."""
     from ..training.train import init_state
 
     mesh = make_mesh() if mesh is None else mesh
+    if not getattr(model, "is_sparse", False):
+        raise TypeError(
+            "sharded_train supports sparse (inducing-point) models; a dense "
+            "model's [N]-sized posterior cannot be replicated across the "
+            "data mesh"
+        )
     from ..models.base import as_2d
 
     X = as_2d(X)
@@ -94,13 +149,27 @@ def sharded_train(model, X, y, iterations: int, mesh: Mesh | None = None, state=
 
     y = match_dtype(y, X)
     model = model.replace(likelihood=lik)
-    Xs, ys = shard_batch(mesh, X, y)
+    Xs, ys, mask = shard_batch(mesh, X, y, with_mask=True)
+    w = mask if _n_pad(mesh, X.shape[0]) else None
     if state is None:
         state = init_state(model, Xs, ys, key)
-    step = data_parallel_step(mesh)
-    for _ in range(iterations):
-        model, state = step(model, state, Xs, ys)
+    model, state = replicate(mesh, (model, state))
+    done = 0
+    while done < iterations:
+        n = min(chunk, iterations - done)
+        model, state = _dp_steps(model, state, Xs, ys, w, n)
+        done += n
     return model, state
+
+
+# ------------------------------------------------------- multi-output CAVI
+def _mo_dp_body(model, state, x, ys, w=None):
+    from ..inference.analytic_vi import pallas_override
+    from ..models.multioutput import mo_variational_update
+
+    with pallas_override("off"):
+        model, state = mo_variational_update(model, state, x, ys, w=w)
+    return model, state.replace(step=state.step + 1)
 
 
 def mo_data_parallel_step(mesh: Mesh, axis_name: str = "data"):
@@ -109,30 +178,25 @@ def mo_data_parallel_step(mesh: Mesh, axis_name: str = "data"):
     of the MO step -- the [M]/[M,M] natural-gradient statistics per latent
     AND the [R, Q] mixing-matrix gradient contractions (mo_update_A) -- are
     B-axis einsums that GSPMD lowers to psums over `axis_name`."""
-    from ..inference.analytic_vi import pallas_override
-    from ..models.multioutput import mo_variational_update
+    return jax.jit(_mo_dp_body)
 
-    data_spec = NamedSharding(mesh, P(axis_name))
 
-    @partial(
-        jax.jit,
-        # data_spec broadcasts over the ys tuple via pytree-prefix matching
-        in_shardings=(None, None, data_spec, data_spec),
-        out_shardings=None,
-    )
-    def step(model, state, x, ys):
-        with pallas_override("off"):
-            model, state = mo_variational_update(model, state, x, ys)
-        return model, state.replace(step=state.step + 1)
+@partial(jax.jit, static_argnums=(5,))
+def _mo_dp_steps(model, state, x, ys, w, n: int):
+    def body(carry, _):
+        m, s = carry
+        return _mo_dp_body(m, s, x, ys, w), None
 
-    return step
+    (model, state), _ = jax.lax.scan(body, (model, state), None, length=n)
+    return model, state
 
 
 def mo_sharded_train(
-    model, X, ys, iterations: int, mesh: Mesh | None = None, state=None, key=None
+    model, X, ys, iterations: int, mesh: Mesh | None = None, state=None, key=None,
+    chunk: int = 200,
 ):
-    """Data-parallel training driver for MOVGP/MOSVGP: one jitted CAVI step
-    per iteration over the full sharded dataset (all tasks share X)."""
+    """Data-parallel training driver for MOVGP/MOSVGP: chunked on-device
+    CAVI scans over the full sharded dataset (all tasks share X)."""
     from ..models.base import as_2d, match_dtype
     from ..models.multioutput import mo_init_state
 
@@ -144,45 +208,54 @@ def mo_sharded_train(
         new_ys.append(match_dtype(y2, X))
         liks.append(lik2)
     model = model.replace(likelihoods=tuple(liks))
-    sharded = shard_batch(mesh, X, *new_ys)
-    Xs, yss = sharded[0], tuple(sharded[1:])
+    sharded = shard_batch(mesh, X, *new_ys, with_mask=True)
+    Xs, yss, mask = sharded[0], tuple(sharded[1:-1]), sharded[-1]
+    w = mask if _n_pad(mesh, X.shape[0]) else None
     if state is None:
         state = mo_init_state(model, Xs, yss, key)
-    step = mo_data_parallel_step(mesh)
-    for _ in range(iterations):
-        model, state = step(model, state, Xs, yss)
+    model, state = replicate(mesh, (model, state))
+    done = 0
+    while done < iterations:
+        n = min(chunk, iterations - done)
+        model, state = _mo_dp_steps(model, state, Xs, yss, w, n)
+        done += n
     return model, state
 
 
-def sharded_svi_step(mesh: Mesh, batch_per_device: int, axis_name: str = "data"):
-    """Stochastic (minibatched) data-parallel CAVI step.
-
-    Each device draws its own local minibatch from its X shard via
-    `shard_map` (per-device folded PRNG keys -- no cross-device gather, the
-    design SURVEY.md section 7 calls out for >=80% scaling: zero per-step
-    host->device or cross-device data movement), then the jitted
-    variational update runs on the sharded minibatch with GSPMD psum-ing
-    the [M]/[M,M] statistics.
-    """
-    from ..inference.analytic_vi import pallas_override, variational_update
-
-    P_ = P(axis_name)
+# -------------------------------------------------------minibatched (SVI)
+def _make_draw(mesh: Mesh, batch_per_device: int, n_pad: int, axis_name: str):
+    """Per-device minibatch draw from the local X shard (shard_map;
+    per-device folded PRNG keys -- no cross-device gather, the design
+    SURVEY.md section 7 calls out for >=80% scaling: zero per-step
+    host->device or cross-device data movement).  Padding lives at the end
+    of the LAST shard; that device draws indices below its valid count, so
+    pad rows are never sampled."""
+    n_dev = mesh.devices.size
 
     def draw(xs, ys, key):
         dev = jax.lax.axis_index(axis_name)
         k = jax.random.fold_in(key, dev)
-        idx = jax.random.randint(k, (batch_per_device,), 0, xs.shape[0])
+        hi = xs.shape[0] - jnp.where(dev == n_dev - 1, n_pad, 0)
+        idx = jax.random.randint(k, (batch_per_device,), 0, hi)
         return jnp.take(xs, idx, axis=0), jnp.take(ys, idx, axis=0)
 
-    draw_sharded = jax.shard_map(
-        draw,
-        mesh=mesh,
-        in_specs=(P_, P_, P()),
-        out_specs=(P_, P_),
-    )
+    P_ = P(axis_name)
+    return jax.shard_map(draw, mesh=mesh, in_specs=(P_, P_, P()), out_specs=(P_, P_))
 
-    @jax.jit
-    def step(model, state, X, y):
+
+def sharded_svi_step(
+    mesh: Mesh, batch_per_device: int, n_pad: int = 0, axis_name: str = "data"
+):
+    """Stochastic (minibatched) data-parallel CAVI step.
+
+    Each device draws its own local minibatch from its X shard, then the
+    jitted variational update runs on the sharded minibatch with GSPMD
+    psum-ing the [M]/[M,M] statistics."""
+    from ..inference.analytic_vi import pallas_override, variational_update
+
+    draw_sharded = _make_draw(mesh, batch_per_device, n_pad, axis_name)
+
+    def step_body(model, state, X, y):
         key, sub = jax.random.split(state.key)
         x_b, y_b = draw_sharded(X, y, sub)
         state = state.replace(key=key)
@@ -192,10 +265,15 @@ def sharded_svi_step(mesh: Mesh, batch_per_device: int, axis_name: str = "data")
             model, state = variational_update(model, state, x_b, y_b)
         return model, state.replace(step=state.step + 1)
 
+    step = jax.jit(step_body)
+    step.body = step_body  # for the scan-fused driver
     return step
 
 
-def sharded_fused_svi_step(mesh: Mesh, model_template, batch_per_device: int, axis_name: str = "data"):
+def sharded_fused_svi_step(
+    mesh: Mesh, model_template, batch_per_device: int, n_pad: int = 0,
+    axis_name: str = "data",
+):
     """Multi-chip fused-Pallas SVI step (the roadmap's "psum'd fused
     statistics" design).
 
@@ -233,11 +311,13 @@ def sharded_fused_svi_step(mesh: Mesh, model_template, batch_per_device: int, ax
     kind, lik_name, _, _, c_key = spec
     bf16 = os.environ.get("AGP_TPU_BF16") == "1"
     P_ = P(axis_name)
+    n_dev = mesh.devices.size
 
     def local_stats(model, state, xs, ys, key):
         dev = jax.lax.axis_index(axis_name)
         k = jax.random.fold_in(key, dev)
-        idx = jax.random.randint(k, (batch_per_device,), 0, xs.shape[0])
+        hi = xs.shape[0] - jnp.where(dev == n_dev - 1, n_pad, 0)
+        idx = jax.random.randint(k, (batch_per_device,), 0, hi)
         x_b = jnp.take(xs, idx, axis=0)
         y_b = jnp.take(ys, idx, axis=0)
         with pallas_override("on"):
@@ -277,8 +357,7 @@ def sharded_fused_svi_step(mesh: Mesh, model_template, batch_per_device: int, ax
         check_vma=False,
     )
 
-    @jax.jit
-    def step(model, state, X, y):
+    def step_body(model, state, X, y):
         key, sub = jax.random.split(state.key)
         s1, S2, c, theta = stats_sharded(model, state, X, y, sub)
         local = dict(state.local_vars)
@@ -291,20 +370,38 @@ def sharded_fused_svi_step(mesh: Mesh, model_template, batch_per_device: int, ax
         )
         return model, state.replace(step=state.step + 1)
 
+    step = jax.jit(step_body)
+    step.body = step_body
     return step
+
+
+def _make_svi_steps(step_body):
+    """Scan-fuse an SVI step body into a chunked multi-step dispatch."""
+
+    @partial(jax.jit, static_argnums=(4,))
+    def steps(model, state, X, y, n: int):
+        def body(carry, _):
+            m, s = carry
+            return step_body(m, s, X, y), None
+
+        (model, state), _ = jax.lax.scan(body, (model, state), None, length=n)
+        return model, state
+
+    return steps
 
 
 def sharded_svi_train(
     model, X, y, iterations: int, mesh: Mesh | None = None,
     batch_per_device: int | None = None, state=None, key=None,
-    fused: bool | None = None,
+    fused: bool | None = None, chunk: int = 500,
 ):
     """Minibatched data-parallel training driver (the 1M-point BASELINE
-    config on a pod slice).  Global batch = batch_per_device * n_devices.
+    config on a pod slice).  Global batch = batch_per_device * n_devices;
+    `chunk` SVI iterations run per device dispatch as one `lax.scan`.
 
     fused: True -> shard_map fused-Pallas statistics step
     (sharded_fused_svi_step); False -> GSPMD einsum step; None (default) ->
-    fused when the single-chip auto gate would fire (TPU backend, M >= 256,
+    fused when the single-chip auto gate would fire (TPU backend, M >= 512,
     fused likelihood/kernel pair)."""
     from ..models.base import as_2d
     from ..training.train import init_state
@@ -320,6 +417,7 @@ def sharded_svi_train(
     y = match_dtype(y, X)
     model = model.replace(likelihood=lik)
     Xs, ys = shard_batch(mesh, X, y)
+    n_pad = _n_pad(mesh, X.shape[0])
     if state is None:
         # local vars sized to the global minibatch
         import dataclasses
@@ -337,11 +435,16 @@ def sharded_svi_train(
 
         fused = _pallas_fused_spec(model) is not None  # honors the auto gate
     if fused:
-        step = sharded_fused_svi_step(mesh, model, batch_per_device)
+        step = sharded_fused_svi_step(mesh, model, batch_per_device, n_pad)
     else:
-        step = sharded_svi_step(mesh, batch_per_device)
-    for _ in range(iterations):
-        model, state = step(model, state, Xs, ys)
+        step = sharded_svi_step(mesh, batch_per_device, n_pad)
+    steps = _make_svi_steps(step.body)
+    model, state = replicate(mesh, (model, state))
+    done = 0
+    while done < iterations:
+        n = min(chunk, iterations - done)
+        model, state = steps(model, state, Xs, ys, n)
+        done += n
     return model, state
 
 

@@ -259,3 +259,135 @@ def test_mo_data_parallel_with_A_updates():
     m2, s2 = mo_sharded_train(build(), X, ys, iterations=8, mesh=make_mesh(8))
     np.testing.assert_allclose(np.asarray(m1.A), np.asarray(m2.A), rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(s1.mu), np.asarray(s2.mu), rtol=1e-8, atol=1e-9)
+
+
+# ----------------------------------------------------- padding-mask contract
+@pytest.mark.parametrize("lik_name", ["logistic", "gaussian_noise", "poisson"])
+def test_sharded_train_nondivisible_matches_single_device(lik_name):
+    """N % n_devices != 0: shard_batch pads the trailing shard and the
+    driver masks the pad rows out of every statistic (incl. the
+    likelihood-parameter batch sums: noise learning, rate MLE) -- the
+    trajectory must match single-device training on the unpadded data."""
+    from agp_tpu.parallel.mesh import make_mesh, sharded_train
+
+    kern = agp.SqExponentialKernel()
+    N = 61  # 61 % 8 == 5 -> 3 pad rows
+    X, f = generate_f(N, 2, kern)
+    if lik_name == "logistic":
+        y = np.sign(np.asarray(f))
+        lik = lambda: agp.LogisticLikelihood.create()
+    elif lik_name == "gaussian_noise":
+        y = np.asarray(f) + 0.1 * np.random.RandomState(0).randn(N)
+        lik = lambda: agp.GaussianLikelihood.create(0.5, opt_noise=True)
+    else:
+        y = np.random.RandomState(1).poisson(2.0, size=N).astype(float)
+        lik = lambda: agp.PoissonLikelihood.create()
+
+    def build():
+        return agp.SVGP.create(kern, lik(), agp.AnalyticVI(), X[:8], optimiser=None)
+
+    m1, s1 = agp.train(build(), X, y, iterations=10)
+    m2, s2 = sharded_train(build(), X, y, iterations=10, mesh=make_mesh(8))
+
+    np.testing.assert_allclose(np.asarray(s1.mu), np.asarray(s2.mu), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(s1.Sigma), np.asarray(s2.Sigma), rtol=1e-8, atol=1e-10
+    )
+    if lik_name == "gaussian_noise":
+        np.testing.assert_allclose(
+            float(m1.likelihood.sigma2), float(m2.likelihood.sigma2), rtol=1e-10
+        )
+    if lik_name == "poisson":
+        np.testing.assert_allclose(
+            float(m1.likelihood.lam), float(m2.likelihood.lam), rtol=1e-10
+        )
+
+
+def test_mo_sharded_train_nondivisible_matches_single_device():
+    """Non-divisible N for the multi-output driver: pad rows must stay out
+    of the natural-gradient statistics AND the A-gradient contractions."""
+    from agp_tpu.parallel.mesh import make_mesh, mo_sharded_train
+
+    kern = agp.SqExponentialKernel()
+    N = 61
+    X, f1 = generate_f(N, 2, kern, key=jax.random.PRNGKey(21))
+    _, f2 = generate_f(N, 2, kern, key=jax.random.PRNGKey(22), X=X)
+    ys = [np.asarray(f1), np.asarray(f2)]
+
+    def build():
+        return agp.MOSVGP.create(
+            agp.SqExponentialKernel(),
+            [agp.GaussianLikelihood.create(0.1, opt_noise=False),
+             agp.GaussianLikelihood.create(0.1, opt_noise=False)],
+            agp.AnalyticVI(), X[:8], n_latent=2, optimiser=None,
+            key=jax.random.PRNGKey(5),
+        )
+
+    m1, s1 = agp.mo_train(build(), X, ys, iterations=8)
+    m2, s2 = mo_sharded_train(build(), X, ys, iterations=8, mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(s1.mu), np.asarray(s2.mu), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(m1.A), np.asarray(m2.A), rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_svi_draw_never_samples_pad_rows():
+    """The per-device minibatch draw bounds its indices by the shard's
+    valid count: rows padded onto the last shard are never sampled."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from agp_tpu.parallel.mesh import _make_draw, make_mesh
+
+    mesh = make_mesh(8)
+    N, n_pad, D = 61, 3, 2
+    Xp = np.ones((N + n_pad, D))
+    Xp[N:] = np.nan  # poison the pad rows
+    yp = np.ones(N + n_pad)
+    yp[N:] = np.nan
+    Xs = jax.device_put(jnp.asarray(Xp), NamedSharding(mesh, P("data", None)))
+    ys = jax.device_put(jnp.asarray(yp), NamedSharding(mesh, P("data")))
+    draw = jax.jit(_make_draw(mesh, 16, n_pad, "data"))
+    for i in range(20):
+        xb, yb = draw(Xs, ys, jax.random.PRNGKey(i))
+        assert bool(jnp.all(jnp.isfinite(xb))), f"pad row drawn at key {i}"
+        assert bool(jnp.all(jnp.isfinite(yb)))
+
+
+def test_sharded_svi_scan_chunks_match_per_step():
+    """The chunked lax.scan driver must reproduce the per-step dispatch
+    trajectory exactly (same keys -> same draws -> same updates)."""
+    import dataclasses
+
+    from agp_tpu.parallel.mesh import (
+        _make_svi_steps,
+        make_mesh,
+        replicate,
+        shard_batch,
+        sharded_svi_step,
+    )
+    from agp_tpu.training.train import init_state
+
+    X = np.random.RandomState(0).randn(512, 3)
+    y = np.sign(X @ np.ones(3))
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+        agp.AnalyticSVI(64), jnp.asarray(X[:8]), optimiser=None,
+    )
+    y2, lik = m.likelihood.treat_labels(y)
+    m = m.replace(likelihood=lik, inference=dataclasses.replace(m.inference, batchsize=64))
+    mesh = make_mesh(8)
+    Xs, ys = shard_batch(mesh, jnp.asarray(X), jnp.asarray(y2, jnp.asarray(X).dtype))
+    state = init_state(m, Xs, ys)
+    state = state.replace(rho=jnp.asarray(X.shape[0] / 64.0, Xs.dtype))
+    m_r, state_r = replicate(mesh, (m, state))
+
+    step = sharded_svi_step(mesh, 8)
+    ms, ss = m_r, state_r
+    for _ in range(7):
+        ms, ss = step(ms, ss, Xs, ys)
+
+    steps = _make_svi_steps(step.body)
+    mc, sc = steps(m_r, state_r, Xs, ys, 3)
+    mc, sc = steps(mc, sc, Xs, ys, 4)
+
+    np.testing.assert_allclose(np.asarray(ss.mu), np.asarray(sc.mu), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ss.Sigma), np.asarray(sc.Sigma), rtol=1e-12)
+    assert int(ss.step) == int(sc.step) == 7
