@@ -223,28 +223,49 @@ def mo_sharded_train(
 
 
 # -------------------------------------------------------minibatched (SVI)
-def _make_draw(mesh: Mesh, batch_per_device: int, n_pad: int, axis_name: str):
-    """Per-device minibatch draw from the local X shard (shard_map;
-    per-device folded PRNG keys -- no cross-device gather, the design
-    SURVEY.md section 7 calls out for >=80% scaling: zero per-step
+def _local_draw(n_dev: int, batch_per_device: int, n_pad: int, axis_name: str,
+                mode: str = "gather"):
+    """Per-device minibatch draw body (runs under shard_map on the local X
+    shard; per-device folded PRNG keys -- no cross-device gather, the
+    design SURVEY.md section 7 calls out for >=80% scaling: zero per-step
     host->device or cross-device data movement).  Padding lives at the end
     of the LAST shard; that device draws indices below its valid count, so
-    pad rows are never sampled."""
-    n_dev = mesh.devices.size
+    pad rows are never sampled.
+
+    mode="slice" draws one contiguous window per device instead of iid
+    indices -- the same trade the single-chip trainer offers
+    (training/train.py::_draw_batch): correlated batches for a sequential
+    HBM read instead of a random-access gather."""
 
     def draw(xs, ys, key):
         dev = jax.lax.axis_index(axis_name)
         k = jax.random.fold_in(key, dev)
-        hi = xs.shape[0] - jnp.where(dev == n_dev - 1, n_pad, 0)
+        if n_pad:
+            hi = xs.shape[0] - jnp.where(dev == n_dev - 1, n_pad, 0)
+        else:
+            hi = xs.shape[0]  # static bound: no pad rows anywhere
+        if mode == "slice":
+            start = jax.random.randint(k, (), 0, hi - batch_per_device + 1)
+            return (
+                jax.lax.dynamic_slice_in_dim(xs, start, batch_per_device, 0),
+                jax.lax.dynamic_slice_in_dim(ys, start, batch_per_device, 0),
+            )
         idx = jax.random.randint(k, (batch_per_device,), 0, hi)
         return jnp.take(xs, idx, axis=0), jnp.take(ys, idx, axis=0)
 
+    return draw
+
+
+def _make_draw(mesh: Mesh, batch_per_device: int, n_pad: int, axis_name: str,
+               mode: str = "gather"):
+    draw = _local_draw(mesh.devices.size, batch_per_device, n_pad, axis_name, mode)
     P_ = P(axis_name)
     return jax.shard_map(draw, mesh=mesh, in_specs=(P_, P_, P()), out_specs=(P_, P_))
 
 
 def sharded_svi_step(
-    mesh: Mesh, batch_per_device: int, n_pad: int = 0, axis_name: str = "data"
+    mesh: Mesh, batch_per_device: int, n_pad: int = 0, axis_name: str = "data",
+    sampling: str = "gather",
 ):
     """Stochastic (minibatched) data-parallel CAVI step.
 
@@ -253,12 +274,14 @@ def sharded_svi_step(
     psum-ing the [M]/[M,M] statistics."""
     from ..inference.analytic_vi import pallas_override, variational_update
 
-    draw_sharded = _make_draw(mesh, batch_per_device, n_pad, axis_name)
+    draw_sharded = _make_draw(mesh, batch_per_device, n_pad, axis_name, sampling)
 
     def step_body(model, state, X, y):
-        key, sub = jax.random.split(state.key)
+        # key folded with the step counter (the single-chip trainer's
+        # convention, training/train.py::_draw_batch): one threefry per
+        # step instead of a split + fold
+        sub = jax.random.fold_in(state.key, state.step)
         x_b, y_b = draw_sharded(X, y, sub)
-        state = state.replace(key=key)
         # fused tier off under GSPMD (see data_parallel_step); use
         # sharded_fused_svi_step for the Pallas multi-chip path.
         with pallas_override("off"):
@@ -272,7 +295,7 @@ def sharded_svi_step(
 
 def sharded_fused_svi_step(
     mesh: Mesh, model_template, batch_per_device: int, n_pad: int = 0,
-    axis_name: str = "data",
+    axis_name: str = "data", sampling: str = "gather",
 ):
     """Multi-chip fused-Pallas SVI step (the roadmap's "psum'd fused
     statistics" design).
@@ -311,15 +334,10 @@ def sharded_fused_svi_step(
     kind, lik_name, _, _, c_key = spec
     bf16 = os.environ.get("AGP_TPU_BF16") == "1"
     P_ = P(axis_name)
-    n_dev = mesh.devices.size
+    draw = _local_draw(mesh.devices.size, batch_per_device, n_pad, axis_name, sampling)
 
     def local_stats(model, state, xs, ys, key):
-        dev = jax.lax.axis_index(axis_name)
-        k = jax.random.fold_in(key, dev)
-        hi = xs.shape[0] - jnp.where(dev == n_dev - 1, n_pad, 0)
-        idx = jax.random.randint(k, (batch_per_device,), 0, hi)
-        x_b = jnp.take(xs, idx, axis=0)
-        y_b = jnp.take(ys, idx, axis=0)
+        x_b, y_b = draw(xs, ys, key)
         with pallas_override("on"):
             _, _, p0, p1, _ = _pallas_fused_spec(model)  # traced lik params
         xs_b, zs, ls = _fused_scaled_inputs(model, x_b)
@@ -358,13 +376,13 @@ def sharded_fused_svi_step(
     )
 
     def step_body(model, state, X, y):
-        key, sub = jax.random.split(state.key)
+        sub = jax.random.fold_in(state.key, state.step)
         s1, S2, c, theta = stats_sharded(model, state, X, y, sub)
         local = dict(state.local_vars)
         local["theta"] = theta.astype(X.dtype)
         if c_key is not None and c_key in local:
             local[c_key] = c.astype(X.dtype)
-        state = state.replace(key=key, local_vars=local)
+        state = state.replace(local_vars=local)
         state = _nat_update_from_stats(
             model, state, s1[None].astype(X.dtype), S2[None].astype(X.dtype), X
         )
@@ -390,19 +408,15 @@ def _make_svi_steps(step_body):
     return steps
 
 
-def sharded_svi_train(
-    model, X, y, iterations: int, mesh: Mesh | None = None,
-    batch_per_device: int | None = None, state=None, key=None,
-    fused: bool | None = None, chunk: int = 500,
+def build_svi_trainer(
+    model, X, y, mesh: Mesh | None = None, batch_per_device: int | None = None,
+    state=None, key=None, fused: bool | None = None,
 ):
-    """Minibatched data-parallel training driver (the 1M-point BASELINE
-    config on a pod slice).  Global batch = batch_per_device * n_devices;
-    `chunk` SVI iterations run per device dispatch as one `lax.scan`.
-
-    fused: True -> shard_map fused-Pallas statistics step
-    (sharded_fused_svi_step); False -> GSPMD einsum step; None (default) ->
-    fused when the single-chip auto gate would fire (TPU backend, M >= 512,
-    fused likelihood/kernel pair)."""
+    """Build the sharded-SVI training pieces: returns
+    (steps, model, state, Xs, ys) where `steps(model, state, Xs, ys, n)` is
+    the chunked lax.scan dispatch.  `sharded_svi_train` is a loop over this;
+    benchmarks/scaling.py uses it directly so the measured program IS the
+    production driver."""
     from ..models.base import as_2d
     from ..training.train import init_state
 
@@ -418,6 +432,12 @@ def sharded_svi_train(
     model = model.replace(likelihood=lik)
     Xs, ys = shard_batch(mesh, X, y)
     n_pad = _n_pad(mesh, X.shape[0])
+    shard_rows = (X.shape[0] + n_pad) // n_dev
+    if batch_per_device > shard_rows - n_pad:
+        raise ValueError(
+            f"batch_per_device {batch_per_device} exceeds the smallest "
+            f"shard's {shard_rows - n_pad} valid rows"
+        )
     if state is None:
         # local vars sized to the global minibatch
         import dataclasses
@@ -434,12 +454,33 @@ def sharded_svi_train(
         from ..inference.analytic_vi import _pallas_fused_spec
 
         fused = _pallas_fused_spec(model) is not None  # honors the auto gate
+    sampling = getattr(model.inference, "minibatch_sampling", "gather")
     if fused:
-        step = sharded_fused_svi_step(mesh, model, batch_per_device, n_pad)
+        step = sharded_fused_svi_step(mesh, model, batch_per_device, n_pad,
+                                      sampling=sampling)
     else:
-        step = sharded_svi_step(mesh, batch_per_device, n_pad)
+        step = sharded_svi_step(mesh, batch_per_device, n_pad, sampling=sampling)
     steps = _make_svi_steps(step.body)
     model, state = replicate(mesh, (model, state))
+    return steps, model, state, Xs, ys
+
+
+def sharded_svi_train(
+    model, X, y, iterations: int, mesh: Mesh | None = None,
+    batch_per_device: int | None = None, state=None, key=None,
+    fused: bool | None = None, chunk: int = 500,
+):
+    """Minibatched data-parallel training driver (the 1M-point BASELINE
+    config on a pod slice).  Global batch = batch_per_device * n_devices;
+    `chunk` SVI iterations run per device dispatch as one `lax.scan`.
+
+    fused: True -> shard_map fused-Pallas statistics step
+    (sharded_fused_svi_step); False -> GSPMD einsum step; None (default) ->
+    fused when the single-chip auto gate would fire (TPU backend, M >= 512,
+    fused likelihood/kernel pair)."""
+    steps, model, state, Xs, ys = build_svi_trainer(
+        model, X, y, mesh, batch_per_device, state, key, fused
+    )
     done = 0
     while done < iterations:
         n = min(chunk, iterations - done)

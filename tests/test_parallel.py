@@ -391,3 +391,23 @@ def test_sharded_svi_scan_chunks_match_per_step():
     np.testing.assert_allclose(np.asarray(ss.mu), np.asarray(sc.mu), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(ss.Sigma), np.asarray(sc.Sigma), rtol=1e-12)
     assert int(ss.step) == int(sc.step) == 7
+
+
+def test_sharded_svi_slice_sampling_trains():
+    """Per-device contiguous-window (slice) minibatch draws: the sharded
+    analog of the single-chip slice mode (training/train.py::_draw_batch)."""
+    from agp_tpu.parallel.mesh import make_mesh, sharded_svi_train
+
+    X = np.random.RandomState(0).randn(1000, 4)  # 1000 % 8 != 0 -> padded
+    y = np.sign(X @ np.ones(4))
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
+        agp.AnalyticSVI(128, minibatch_sampling="slice"),
+        jnp.asarray(X[:16]), optimiser=None,
+    )
+    mesh = make_mesh(8)
+    m, s = sharded_svi_train(m, X, y, iterations=40, mesh=mesh)
+    from agp_tpu.training.predictions import predict_y
+
+    acc = float(jnp.mean(predict_y(m, s, jnp.asarray(X)) == jnp.asarray(y)))
+    assert acc > 0.8
