@@ -207,10 +207,12 @@ class Webscale:
         return jnp.asarray(X[idx])
 
 
-def webscale_update(Z, mask, counts, X_batch):
+def webscale_update(Z, mask, counts, X_batch, k=None):
     """On-device minibatch k-means step over the active centers.  Matches
     Sculley's per-center 1/count rate with within-batch updates folded into
-    one count-weighted mean (vectorized; order-free)."""
+    one count-weighted mean (vectorized; order-free).  `k` caps the number
+    of active centers (defaults to the buffer capacity)."""
+    k = Z.shape[0] if k is None else k
     d2 = jnp.sum((X_batch[:, None, :] - Z[None, :, :]) ** 2, axis=-1)  # [B, Mc]
     d2 = jnp.where(mask[None, :], d2, jnp.inf)
     assign = jnp.argmin(d2, axis=1)  # [B]
@@ -222,6 +224,19 @@ def webscale_update(Z, mask, counts, X_batch):
     eta = nb / jnp.maximum(new_counts, 1.0)
     move = (mask & (nb > 0))[:, None]
     Z = jnp.where(move, Z + eta[:, None] * (bmean - Z), Z)
+    # Activate free slots from this batch (a first batch smaller than k
+    # would otherwise cap the center count forever): fill inactive slots
+    # farthest-first with batch points, k-means-seeding style.
+    dmin = jnp.min(jnp.where(mask[None, :], d2, jnp.inf), axis=1)  # [B]
+    dmin = jnp.where(jnp.isfinite(dmin), dmin, jnp.float32(1e30).astype(Z.dtype))
+    order = jnp.argsort(-dmin)  # farthest batch points first
+    inact_rank = jnp.cumsum(~mask) - 1  # slot's index among inactive slots
+    free = k - jnp.sum(mask)  # activations still allowed under the k cap
+    newly = (~mask) & (inact_rank < jnp.minimum(X_batch.shape[0], free))
+    cand = X_batch[order[jnp.clip(inact_rank, 0, X_batch.shape[0] - 1)]]
+    Z = jnp.where(newly[:, None], cand, Z)
+    new_counts = jnp.where(newly, 1.0, new_counts)
+    mask = mask | newly
     return Z, mask, new_counts
 
 
@@ -252,10 +267,12 @@ class StreamKmeans:
         return jnp.asarray(np.stack(Z))
 
 
-def streamkmeans_update(Z, mask, counts, X_batch, radius2: float):
+def streamkmeans_update(Z, mask, counts, X_batch, radius2: float, cap=None):
     """On-device streaming k-means update (sequential accept rule preserved
-    by a lax.scan over the batch, like `oips_update`)."""
-    cap = Z.shape[0]
+    by a lax.scan over the batch, like `oips_update`).  `cap` bounds the
+    number of active centers (defaults to the buffer capacity; the model
+    passes the algorithm's own capacity when the buffer is larger)."""
+    cap = Z.shape[0] if cap is None else cap
 
     def body(carry, x):
         Z, mask, counts = carry

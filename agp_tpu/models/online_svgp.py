@@ -98,7 +98,9 @@ class OnlineSVGP(struct.PyTreeNode):
         elif isinstance(Zalg, Webscale):
             capacity = max(capacity, Zalg.k)
         elif isinstance(Zalg, StreamKmeans):
-            capacity = Zalg.capacity
+            # buffer >= the algorithm cap; growth itself stays bounded by
+            # Zalg.capacity (passed into streamkmeans_update)
+            capacity = max(capacity, Zalg.capacity)
         L = likelihood.n_latent
         mean = ZeroMean() if mean is None else mean
         kernel, mean = prepare_components(kernel, likelihood, mean, L)
@@ -115,7 +117,7 @@ class OnlineSVGP(struct.PyTreeNode):
             z_mask=z_mask,
             Za=Z,
             za_mask=z_mask,
-            z_counts=jnp.zeros((L, Mc)),
+            z_counts=jnp.zeros((L, Mc), Z.dtype),
             inference=inference,
             n_latent=L,
             capacity=Mc,
@@ -228,12 +230,12 @@ def update_Z(model: OnlineSVGP, x):
         return model.replace(Z=Z, z_mask=z_mask)
     if isinstance(alg, Webscale):
         Z, z_mask, counts = jax.vmap(
-            lambda Z, m, c: webscale_update(Z, m, c, x)
+            lambda Z, m, c: webscale_update(Z, m, c, x, alg.k)
         )(model.Z, model.z_mask, model.z_counts)
         return model.replace(Z=Z, z_mask=z_mask, z_counts=counts)
     if isinstance(alg, StreamKmeans):
         Z, z_mask, counts = jax.vmap(
-            lambda Z, m, c: streamkmeans_update(Z, m, c, x, alg.radius2)
+            lambda Z, m, c: streamkmeans_update(Z, m, c, x, alg.radius2, alg.capacity)
         )(model.Z, model.z_mask, model.z_counts)
         return model.replace(Z=Z, z_mask=z_mask, z_counts=counts)
 

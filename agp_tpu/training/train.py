@@ -246,8 +246,11 @@ def train(
                     model, state = _hyper_step(model, state, X, y)
                 if verbose >= 2:
                     if inf.stochastic:
-                        b = inf.batchsize
-                        e = _elbo_full(model, state, X[:b], y[:b])
+                        # fresh random batch: a fixed prefix is a biased,
+                        # constant trace slice (same convention as the
+                        # conv_eps check above)
+                        xb, yb = _draw_batch(model, state, X, y, state.step)
+                        e = _elbo_full(model, state, xb, yb)
                     else:
                         e = _elbo_full(model, state, X, y)
                     print(f"iter {i}: ELBO = {float(e):.6f}")

@@ -734,3 +734,28 @@ def test_online_svgp_alternative_zalgs(reg_data, algname):
     assert float(jnp.mean(jnp.abs(mu - f))) < 1.0
     e = agp.online_elbo(model, state, X[20:30], y[20:30])
     assert np.isfinite(float(e))
+
+
+def test_webscale_small_first_batch_reaches_k(reg_data):
+    """A first batch smaller than k must not permanently cap the center
+    count: later batches activate the remaining slots (farthest-first)."""
+    from agp_tpu.inducing import Webscale
+
+    X, f, y = reg_data
+    model = agp.OnlineSVGP.create(
+        agp.SqExponentialKernel(),
+        agp.GaussianLikelihood.create(0.05, opt_noise=False),
+        agp.AnalyticVI(),
+        Zalg=Webscale(12),  # > first-batch size of 5
+        n_dim=2,
+        capacity=16,
+    )
+    state = None
+    model, state = agp.online_train(model, X[:5], y[:5], state=state, iterations=3)
+    assert int(model.z_mask[0].sum()) == 5
+    model, state = agp.online_train(model, X[5:15], y[5:15], state=state, iterations=3)
+    assert int(model.z_mask[0].sum()) == 12  # reached k, not capped at 5
+    model, state = agp.online_train(model, X[15:30], y[15:30], state=state, iterations=3)
+    assert int(model.z_mask[0].sum()) == 12  # stays at k
+    mu = agp.predict_f(model, state, X)
+    assert float(jnp.mean(jnp.abs(mu - f))) < 1.0
