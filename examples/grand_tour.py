@@ -69,7 +69,7 @@ gm = agp.VGP.create(X, yr, agp.SqExponentialKernel(), Gen.create(), agp.Analytic
 gm, gms = agp.train(gm, iterations=20)
 ok.append(("augmodel", float(jnp.mean(jnp.abs(agp.predict_f(gm, gms, X) - f))) < 0.5))
 # 10 checkpoint + AR + sample_f
-d = tempfile.mkdtemp(); agp.checkpoint.save(d, m, s); m2, s2 = agp.checkpoint.load(d)
+d = tempfile.mkdtemp(); agp.checkpoint.save(d, m, s); m2, s2 = agp.checkpoint.load(d, allow_pickle=True)
 series = jnp.sin(jnp.linspace(0, 12*jnp.pi, 300, dtype=jnp.float64))
 Xl = jnp.stack([series[i:i+4] for i in range(296)]); yl = series[4:]
 ar = agp.SVGP.create(agp.SqExponentialKernel(), agp.GaussianLikelihood.create(1e-3, opt_noise=False), agp.AnalyticVI(), Xl[:16], optimiser=None)

@@ -295,8 +295,18 @@ def test_checkpoint_roundtrip(reg_data, tmp_path):
                             optimiser=None)
     model, state = agp.train(model, X, y, iterations=5)
     agp.checkpoint.save(str(tmp_path / "ckpt"), model, state)
-    model2, state2 = agp.checkpoint.load(str(tmp_path / "ckpt"))
+    # safe default: weights grafted onto rebuilt templates, nothing unpickled
+    mt = agp.SVGP.create(agp.SqExponentialKernel(), lik, agp.AnalyticVI(), X[:8],
+                         optimiser=None)
+    mt, st = agp.train(mt, X, y, iterations=1)
+    model2, state2 = agp.checkpoint.load(str(tmp_path / "ckpt"), mt, st)
     np.testing.assert_allclose(np.asarray(state.mu), np.asarray(state2.mu))
+    # templates are required without allow_pickle
+    with pytest.raises(ValueError):
+        agp.checkpoint.load(str(tmp_path / "ckpt"))
+    # opt-in trusted mode still restores without templates
+    model3, state3 = agp.checkpoint.load(str(tmp_path / "ckpt"), allow_pickle=True)
+    np.testing.assert_allclose(np.asarray(state.mu), np.asarray(state3.mu))
     # resume training from the checkpoint
     model2, state2 = agp.train(model2, X, y, iterations=3, state=state2)
     mu1 = agp.predict_f(model2, state2, X)
@@ -759,3 +769,86 @@ def test_webscale_small_first_batch_reaches_k(reg_data):
     assert int(model.z_mask[0].sum()) == 12  # stays at k
     mu = agp.predict_f(model, state, X)
     assert float(jnp.mean(jnp.abs(mu - f))) < 1.0
+
+
+def test_checkpoint_roundtrip_online_svgp(reg_data, tmp_path):
+    """Safe (weights-only) checkpoint round-trip for OnlineSVGP: the masked
+    fixed-capacity buffers (Z, z_mask, Za, counts) AND the streaming
+    `previous` block must survive, and the stream must resume."""
+    X, f, y = reg_data
+
+    def stream(model, state, upto):
+        for i in range(upto):
+            xb, yb = X[i * 10:(i + 1) * 10], y[i * 10:(i + 1) * 10]
+            model, state = agp.online_train(model, xb, yb, state=state, iterations=5)
+        return model, state
+
+    def build():
+        return agp.OnlineSVGP.create(
+            agp.SqExponentialKernel(),
+            agp.GaussianLikelihood.create(0.05, opt_noise=False),
+            agp.AnalyticVI(), n_dim=2, capacity=16,
+        )
+
+    model, state = stream(build(), None, 2)
+    assert state.previous is not None  # streaming block live
+    agp.checkpoint.save(str(tmp_path / "ck"), model, state)
+
+    # rebuild templates by replaying the stream structure, then graft
+    mt, st = stream(build(), None, 2)
+    model2, state2 = agp.checkpoint.load(str(tmp_path / "ck"), mt, st)
+    np.testing.assert_allclose(np.asarray(state.mu), np.asarray(state2.mu))
+    np.testing.assert_array_equal(np.asarray(model.z_mask), np.asarray(model2.z_mask))
+    np.testing.assert_allclose(np.asarray(model.Z), np.asarray(model2.Z))
+    for k in state.previous:
+        np.testing.assert_allclose(
+            np.asarray(state.previous[k]), np.asarray(state2.previous[k])
+        )
+    # resume the stream from the restored state
+    model2, state2 = agp.online_train(
+        model2, X[20:30], y[20:30], state=state2, iterations=5
+    )
+    mu = agp.predict_f(model2, state2, X)
+    assert float(jnp.mean(jnp.abs(mu - f))) < 1.0
+
+
+def test_checkpoint_roundtrip_mosvgp(reg_data, tmp_path):
+    """Safe checkpoint round-trip for MOSVGP (mixing matrix + per-task
+    local vars + A optimizer state), resuming mo_train after restore."""
+    X, f, y = reg_data
+    ys = [np.asarray(f), np.asarray(y)]
+
+    def build():
+        return agp.MOSVGP.create(
+            agp.SqExponentialKernel(),
+            [agp.GaussianLikelihood.create(0.1, opt_noise=False)] * 2,
+            agp.AnalyticVI(), X[:8], n_latent=2, optimiser=None,
+            key=jax.random.PRNGKey(9),
+        )
+
+    model, state = agp.mo_train(build(), X, ys, iterations=6)
+    agp.checkpoint.save(str(tmp_path / "ck"), model, state)
+
+    mt, st = agp.mo_train(build(), X, ys, iterations=1)
+    model2, state2 = agp.checkpoint.load(str(tmp_path / "ck"), mt, st)
+    np.testing.assert_allclose(np.asarray(state.mu), np.asarray(state2.mu))
+    np.testing.assert_allclose(np.asarray(model.A), np.asarray(model2.A))
+    model2, state2 = agp.mo_train(model2, X, ys, iterations=3, state=state2)
+    mu, _ = agp.mo_predict_f(model2, state2, X)
+    assert bool(jnp.all(jnp.isfinite(mu)))
+
+
+def test_checkpoint_shape_mismatch_rejected(reg_data, tmp_path):
+    """The manifest catches template/checkpoint shape drift loudly."""
+    X, f, y = reg_data
+    lik = agp.GaussianLikelihood.create(0.05, opt_noise=False)
+
+    def build(m):
+        return agp.SVGP.create(agp.SqExponentialKernel(), lik, agp.AnalyticVI(),
+                               X[:m], optimiser=None)
+
+    model, state = agp.train(build(8), X, y, iterations=2)
+    agp.checkpoint.save(str(tmp_path / "ck"), model, state)
+    mt, st = agp.train(build(10), X, y, iterations=1)  # wrong M
+    with pytest.raises(ValueError):
+        agp.checkpoint.load(str(tmp_path / "ck"), mt, st)
