@@ -24,18 +24,31 @@ from .inference.config import (
     QuadratureVI,
 )
 from .kernels import (
+    ARDTransform,
+    ChainTransform,
     ConstantKernel,
     CosineKernel,
+    ExponentiatedKernel,
+    FBMKernel,
+    FunctionTransform,
+    GaborKernel,
     LinearKernel,
+    LinearTransform,
     Matern12Kernel,
     Matern32Kernel,
     Matern52Kernel,
+    NeuralNetworkKernel,
     PeriodicKernel,
+    PiecewisePolynomialKernel,
     PolynomialKernel,
     RationalQuadraticKernel,
     RBFKernel,
+    ScaleTransform,
+    SelectTransform,
     SqExponentialKernel,
+    TransformedKernel,
     WhiteKernel,
+    with_transform,
 )
 from .likelihoods.base import Likelihood
 from .likelihoods.classification import BayesianSVM, LogisticLikelihood
@@ -159,6 +172,20 @@ __all__ = [
     "PolynomialKernel",
     "ConstantKernel",
     "WhiteKernel",
+    "ExponentiatedKernel",
+    "PiecewisePolynomialKernel",
+    "FBMKernel",
+    "GaborKernel",
+    "NeuralNetworkKernel",
+    # input transforms
+    "TransformedKernel",
+    "with_transform",
+    "ScaleTransform",
+    "ARDTransform",
+    "LinearTransform",
+    "SelectTransform",
+    "FunctionTransform",
+    "ChainTransform",
     # prior means
     "ZeroMean",
     "ConstantMean",

@@ -16,7 +16,8 @@ The TPU build internalizes an equivalent library, designed MXU-first:
 """
 from __future__ import annotations
 
-from typing import Union
+import dataclasses
+from typing import Any, Callable, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -69,7 +70,17 @@ def dist(X: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray:
 
 
 class Kernel(struct.PyTreeNode):
-    """Base kernel. Subclasses implement `gram` and `diag`."""
+    """Base kernel. Subclasses implement `gram` and `diag`.
+
+    Trainable float leaves are positive by default and are optimized in log
+    space by the hyperparameter step (the reference's
+    ``x .= exp.(log.(x) .+ Delta)`` rule, autotuning_utils.jl:47-83).
+    A subclass whose parameters are sign-indefinite (e.g. a linear input
+    transform's matrix) lists those field names in ``FREE_PARAMS``; the
+    hyper step then updates them unconstrained (see `to_unconstrained`).
+    """
+
+    FREE_PARAMS = frozenset()  # no annotation: class attr, not a dataclass field
 
     def gram(self, X: jnp.ndarray, Z: jnp.ndarray | None = None) -> jnp.ndarray:
         raise NotImplementedError
@@ -214,6 +225,266 @@ class WhiteKernel(Kernel):
 
     def diag(self, X):
         return jnp.broadcast_to(self.variance, (X.shape[0],)).astype(X.dtype)
+
+
+class ExponentiatedKernel(Kernel):
+    """k(x,z) = v * exp(x.z / l^2) -- the exponentiated dot-product kernel
+    (KernelFunctions.jl ExponentiatedKernel, re-exported by the reference
+    at src/AugmentedGaussianProcesses.jl:30-33)."""
+
+    lengthscale: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.0))
+    variance: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.0))
+
+    def gram(self, X, Z=None):
+        Z = X if Z is None else Z
+        Xs, Zs = _scale(X, self.lengthscale), _scale(Z, self.lengthscale)
+        return self.variance * jnp.exp(
+            jnp.dot(Xs, Zs.T, precision=jax.lax.Precision.HIGHEST)
+        )
+
+    def diag(self, X):
+        Xs = _scale(X, self.lengthscale)
+        return self.variance * jnp.exp(jnp.sum(Xs * Xs, axis=-1))
+
+
+class PiecewisePolynomialKernel(StationaryKernel):
+    """Compactly-supported (Wendland) piecewise-polynomial kernel of degree
+    q in {0,1,2,3}: PSD in dimension D with j = floor(D/2) + q + 1 and
+    k = v * (1-r)_+^(j+o) * P_q(r) (GPML Table 4.1; KernelFunctions.jl
+    PiecewisePolynomialKernel).  Compact support (k = 0 for r >= 1) makes
+    the Gram sparse in the lengthscale-local sense -- on TPU it is computed
+    dense like every other stationary kernel (the MXU does not benefit from
+    sparsity at these sizes)."""
+
+    degree: int = struct.field(pytree_node=False, default=0)
+
+    def gram(self, X, Z=None):
+        Z = X if Z is None else Z
+        r = jnp.sqrt(
+            jnp.maximum(
+                sq_dist(_scale(X, self.lengthscale), _scale(Z, self.lengthscale)),
+                1e-36,
+            )
+        )
+        D = X.shape[-1]
+        j = D // 2 + self.degree + 1
+        base = jnp.maximum(1.0 - r, 0.0)
+        if self.degree == 0:
+            poly, o = jnp.ones_like(r), 0
+        elif self.degree == 1:
+            poly, o = (j + 1.0) * r + 1.0, 1
+        elif self.degree == 2:
+            poly = ((j**2 + 4.0 * j + 3.0) * r * r + (3.0 * j + 6.0) * r + 3.0) / 3.0
+            o = 2
+        elif self.degree == 3:
+            poly = (
+                (j**3 + 9.0 * j**2 + 23.0 * j + 15.0) * r**3
+                + (6.0 * j**2 + 36.0 * j + 45.0) * r * r
+                + (15.0 * j + 45.0) * r
+                + 15.0
+            ) / 15.0
+            o = 3
+        else:
+            raise ValueError("degree must be in {0,1,2,3}")
+        return self.variance * base ** (j + o) * poly
+
+
+class FBMKernel(Kernel):
+    """Fractional-Brownian-motion kernel
+    k(x,z) = v/2 * (|x|^(2h) + |z|^(2h) - |x-z|^(2h)), Hurst index
+    h in (0,1) (KernelFunctions.jl FBMKernel).  h is stored directly and
+    updated in log space (positive); keep it < 1 for a valid kernel."""
+
+    hurst: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.5))
+    variance: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.0))
+
+    def _pow2h(self, sq):
+        return jnp.maximum(sq, 1e-36) ** self.hurst
+
+    def gram(self, X, Z=None):
+        Z = X if Z is None else Z
+        xx = jnp.sum(X * X, axis=-1)
+        zz = jnp.sum(Z * Z, axis=-1)
+        return (
+            0.5
+            * self.variance
+            * (
+                self._pow2h(xx)[:, None]
+                + self._pow2h(zz)[None, :]
+                - self._pow2h(sq_dist(X, Z))
+            )
+        )
+
+    def diag(self, X):
+        return self.variance * self._pow2h(jnp.sum(X * X, axis=-1))
+
+
+class GaborKernel(Kernel):
+    """Gabor kernel: squared-exponential envelope times a per-dimension
+    cosine carrier, k = v * exp(-r^2/(2 l^2)) * prod_d cos(2 pi (x_d-z_d)/p_d)
+    (KernelFunctions.jl GaborKernel = SqExp(l) * Cosine(p))."""
+
+    lengthscale: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.0))
+    period: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.0))
+    variance: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.0))
+
+    def gram(self, X, Z=None):
+        Z = X if Z is None else Z
+        r2 = sq_dist(_scale(X, self.lengthscale), _scale(Z, self.lengthscale))
+        diff = X[:, None, :] - Z[None, :, :]
+        carrier = jnp.prod(jnp.cos(2.0 * jnp.pi * diff / self.period), axis=-1)
+        return self.variance * jnp.exp(-0.5 * r2) * carrier
+
+    def diag(self, X):
+        return jnp.broadcast_to(self.variance, (X.shape[0],)).astype(X.dtype)
+
+
+class NeuralNetworkKernel(Kernel):
+    """Neal/Williams infinite-width erf-network kernel
+    k(x,z) = v * (2/pi) asin(2 xt.zt / sqrt((1+2 xt.xt)(1+2 zt.zt))) with
+    xt = (1, x) (KernelFunctions.jl NeuralNetworkKernel convention without
+    the leading 1; we include the bias feature as GPML eq. 4.29 does)."""
+
+    variance: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.0))
+
+    def _aug(self, X):
+        # 1 + 2 xt.xt with xt = (1, x)
+        return 3.0 + 2.0 * jnp.sum(X * X, axis=-1)
+
+    def gram(self, X, Z=None):
+        Z = X if Z is None else Z
+        xz = 1.0 + jnp.dot(X, Z.T, precision=jax.lax.Precision.HIGHEST)
+        denom = jnp.sqrt(jnp.outer(self._aug(X), self._aug(Z)))
+        arg = jnp.clip(2.0 * xz / denom, -1.0 + 1e-12, 1.0 - 1e-12)
+        return self.variance * (2.0 / jnp.pi) * jnp.arcsin(arg)
+
+    def diag(self, X):
+        a = 1.0 + jnp.sum(X * X, axis=-1)
+        arg = jnp.clip(2.0 * a / self._aug(X), -1.0, 1.0)
+        return self.variance * (2.0 / jnp.pi) * jnp.arcsin(arg)
+
+
+# ------------------------------------------------------------ input transforms
+class Transform(struct.PyTreeNode):
+    """Input transform t: R^D -> R^Q applied before a kernel
+    (KernelFunctions.jl Transform protocol: ScaleTransform, ARDTransform,
+    LinearTransform, SelectTransform, FunctionTransform, ChainTransform).
+    Trainable leaves follow the same positivity/log-space convention as
+    kernels; sign-indefinite leaves go in FREE_PARAMS."""
+
+    FREE_PARAMS = frozenset()
+
+    def __call__(self, X: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+
+class ScaleTransform(Transform):
+    """x -> s * x with a positive scalar s."""
+
+    s: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.0))
+
+    def __call__(self, X):
+        return X * self.s
+
+
+class ARDTransform(Transform):
+    """x -> v .* x with a positive per-dimension vector v."""
+
+    v: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray([1.0]))
+
+    def __call__(self, X):
+        return X * self.v
+
+
+class LinearTransform(Transform):
+    """x -> A x (rows of X right-multiplied by A^T).  A is sign-indefinite:
+    updated unconstrained by the hyper step (FREE_PARAMS)."""
+
+    A: jnp.ndarray = struct.field(default_factory=lambda: jnp.eye(1))
+    FREE_PARAMS = frozenset({"A"})
+
+    def __call__(self, X):
+        return jnp.dot(X, self.A.T, precision=jax.lax.Precision.HIGHEST)
+
+
+class SelectTransform(Transform):
+    """x -> x[dims]: static feature subset (active-dimensions pattern)."""
+
+    dims: Tuple[int, ...] = struct.field(pytree_node=False, default=(0,))
+
+    def __call__(self, X):
+        return X[..., jnp.asarray(self.dims)]
+
+
+class FunctionTransform(Transform):
+    """x -> f(x) for a static (non-trainable) row-wise callable."""
+
+    fn: Callable = struct.field(pytree_node=False, default=None)
+
+    def __call__(self, X):
+        return self.fn(X)
+
+
+class ChainTransform(Transform):
+    """Composition t_n(... t_1(x)); applied left-to-right."""
+
+    transforms: Tuple[Transform, ...] = struct.field(default_factory=tuple)
+
+    def __call__(self, X):
+        for t in self.transforms:
+            X = t(X)
+        return X
+
+
+class TransformedKernel(Kernel):
+    """k(t(x), t(z)): any kernel over transformed inputs
+    (KernelFunctions.jl `kernel ∘ transform`)."""
+
+    inner: Kernel = None
+    transform: Transform = None
+
+    def gram(self, X, Z=None):
+        tX = self.transform(X)
+        tZ = tX if Z is None else self.transform(Z)
+        return self.inner.gram(tX, tZ)
+
+    def diag(self, X):
+        return self.inner.diag(self.transform(X))
+
+
+def with_transform(kernel: Kernel, transform: Transform) -> TransformedKernel:
+    """KernelFunctions' `k ∘ t` composition."""
+    return TransformedKernel(inner=kernel, transform=transform)
+
+
+# ------------------------------------------- positive/free parameter mapping
+def _map_params(node: Any, f_pos, is_free: bool = False):
+    if isinstance(node, (Kernel, Transform)):
+        free = getattr(type(node), "FREE_PARAMS", frozenset())
+        kw = {}
+        for fld in dataclasses.fields(node):
+            if not fld.metadata.get("pytree_node", True):
+                continue  # static field: not a leaf, untouched
+            v = getattr(node, fld.name)
+            kw[fld.name] = _map_params(v, f_pos, fld.name in free)
+        return node.replace(**kw)
+    if isinstance(node, tuple):
+        return tuple(_map_params(v, f_pos, is_free) for v in node)
+    if node is None:
+        return None
+    return node if is_free else f_pos(node)
+
+
+def to_unconstrained(kernel: Kernel) -> Kernel:
+    """Map a kernel pytree to the space the hyperparameter optimizer works
+    in: log on positive-constrained leaves, identity on FREE_PARAMS leaves.
+    Inverse of `from_unconstrained`.  Backwards compatible with plain
+    `tree_map(log, kernel)` for kernels without free params."""
+    return _map_params(kernel, jnp.log)
+
+
+def from_unconstrained(kernel: Kernel) -> Kernel:
+    return _map_params(kernel, jnp.exp)
 
 
 class SumKernel(Kernel):

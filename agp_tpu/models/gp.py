@@ -17,7 +17,7 @@ from flax import struct
 
 from ..config import jitter
 from ..inference.config import Analytic
-from ..kernels import batch_gram
+from ..kernels import to_unconstrained as _to_unc, batch_gram
 from ..likelihoods.regression import GaussianLikelihood
 from ..means import PriorMean, ZeroMean, batch_call
 from ..ops import linalg
@@ -82,9 +82,7 @@ class GP(struct.PyTreeNode):
         hyper_state = None
         if self.optimiser is not None:
             hyper_state = {
-                "kernel": self.optimiser.init(
-                    jax.tree_util.tree_map(jnp.log, self.kernel)
-                ),
+                "kernel": self.optimiser.init(_to_unc(self.kernel)),
                 "mean": self.optimiser.init(self.mean),
             }
         return TrainState(

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..inference import analytic_vi
+from ..kernels import from_unconstrained, to_unconstrained
 from ..inference.objective import objective
 from ..training.state import TrainState
 from ..utils.opt import ascent_update
@@ -32,7 +33,7 @@ def hyper_step(model, state: TrainState, x, y):
     matrices afterwards (reference: autotuning.jl:86-140)."""
     opt_z = model.is_sparse and getattr(model, "Zoptimiser", None) is not None
 
-    log_kernel = jax.tree_util.tree_map(jnp.log, model.kernel)
+    log_kernel = to_unconstrained(model.kernel)
 
     if opt_z:
 
@@ -60,7 +61,7 @@ def hyper_step(model, state: TrainState, x, y):
         g_k, hyper["kernel"], log_kernel
     )
     new_log_k = jax.tree_util.tree_map(lambda p, u: p + u, log_kernel, k_updates)
-    new_kernel = jax.tree_util.tree_map(jnp.exp, new_log_k)
+    new_kernel = from_unconstrained(new_log_k)
 
     m_updates, hyper["mean"] = model.optimiser.update(g_m, hyper["mean"], model.mean)
     new_mean = jax.tree_util.tree_map(lambda p, u: p + u, model.mean, m_updates)
@@ -78,7 +79,7 @@ def hyper_step(model, state: TrainState, x, y):
 
 
 def _rebuild(model, log_kernel, mean, Z):
-    kernel = jax.tree_util.tree_map(jnp.exp, log_kernel)
+    kernel = from_unconstrained(log_kernel)
     m2 = model.replace(kernel=kernel, mean=mean)
     if Z is not None:
         m2 = m2.replace(Z=Z)
@@ -91,9 +92,7 @@ def init_hyper_state(model):
     if model.optimiser is None:
         return None
     hyper = {
-        "kernel": model.optimiser.init(
-            jax.tree_util.tree_map(jnp.log, model.kernel)
-        ),
+        "kernel": model.optimiser.init(to_unconstrained(model.kernel)),
         "mean": model.optimiser.init(model.mean),
     }
     if getattr(model, "Zoptimiser", None) is not None and model.is_sparse:

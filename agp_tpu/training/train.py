@@ -294,14 +294,14 @@ _gp_analytic_step = jax.jit(analytic_update)
 @jax.jit
 def _gp_hyper_step(model, state):
     """Gradient ascent on the marginal likelihood wrt kernel/mean params."""
-    from ..kernels import batch_gram
+    from ..kernels import batch_gram, from_unconstrained, to_unconstrained
     from ..means import batch_call
     from ..ops import linalg
 
-    log_kernel = jax.tree_util.tree_map(jnp.log, model.kernel)
+    log_kernel = to_unconstrained(model.kernel)
 
     def neg_logpy(log_k, mean):
-        kernel = jax.tree_util.tree_map(jnp.exp, log_k)
+        kernel = from_unconstrained(log_k)
         K = batch_gram(kernel, model.train_x)[0]
         Sigma = K + model.likelihood.sigma2 * jnp.eye(K.shape[0], dtype=K.dtype)
         L = jnp.linalg.cholesky(Sigma)
@@ -313,8 +313,8 @@ def _gp_hyper_step(model, state):
     g_k, g_m = jax.grad(neg_logpy, argnums=(0, 1))(log_kernel, model.mean)
     hyper = dict(state.hyper_state)
     k_up, hyper["kernel"] = model.optimiser.update(g_k, hyper["kernel"], log_kernel)
-    new_kernel = jax.tree_util.tree_map(
-        lambda p, u: jnp.exp(p + u), log_kernel, k_up
+    new_kernel = from_unconstrained(
+        jax.tree_util.tree_map(lambda p, u: p + u, log_kernel, k_up)
     )
     m_up, hyper["mean"] = model.optimiser.update(g_m, hyper["mean"], model.mean)
     new_mean = jax.tree_util.tree_map(lambda p, u: p + u, model.mean, m_up)

@@ -22,9 +22,27 @@ ALL_KERNELS = [
     agp.ConstantKernel(),
     agp.WhiteKernel(),
     agp.CosineKernel(),
+    agp.ExponentiatedKernel(lengthscale=jnp.asarray(3.0)),
+    agp.PiecewisePolynomialKernel(lengthscale=jnp.asarray(2.0), degree=0),
+    agp.PiecewisePolynomialKernel(lengthscale=jnp.asarray(2.0), degree=1),
+    agp.PiecewisePolynomialKernel(lengthscale=jnp.asarray(2.0), degree=2),
+    agp.PiecewisePolynomialKernel(lengthscale=jnp.asarray(2.0), degree=3),
+    agp.FBMKernel(hurst=jnp.asarray(0.4)),
+    agp.GaborKernel(lengthscale=jnp.asarray(1.5), period=jnp.asarray(2.0)),
+    agp.NeuralNetworkKernel(),
     agp.SqExponentialKernel() + agp.Matern32Kernel(),
     agp.SqExponentialKernel() * agp.LinearKernel(),
     2.5 * agp.SqExponentialKernel(),
+    agp.with_transform(agp.SqExponentialKernel(), agp.ScaleTransform(s=jnp.asarray(0.7))),
+    agp.with_transform(
+        agp.Matern32Kernel(),
+        agp.ChainTransform(
+            transforms=(
+                agp.SelectTransform(dims=(0, 2)),
+                agp.ARDTransform(v=jnp.asarray([0.5, 2.0])),
+            )
+        ),
+    ),
 ]
 
 
@@ -45,6 +63,90 @@ def test_kernel_ard_lengthscale():
     Xs = np.asarray(X) / np.array([0.5, 2.0])
     d2 = ((Xs[:, None] - Xs[None, :]) ** 2).sum(-1)
     np.testing.assert_allclose(G, np.exp(-0.5 * d2), atol=1e-10)
+
+
+def test_input_transforms():
+    X = jax.random.normal(jax.random.PRNGKey(3), (12, 3), dtype=jnp.float64)
+    base = agp.SqExponentialKernel()
+    # ScaleTransform(s) == lengthscale 1/s
+    ks = agp.with_transform(base, agp.ScaleTransform(s=jnp.asarray(0.5)))
+    keq = agp.SqExponentialKernel(lengthscale=jnp.asarray(2.0))
+    np.testing.assert_allclose(
+        np.asarray(ks.gram(X, X)), np.asarray(keq.gram(X, X)), atol=1e-12
+    )
+    # ARDTransform(v) == ARD lengthscale 1/v
+    v = jnp.asarray([0.5, 1.0, 4.0])
+    ka = agp.with_transform(base, agp.ARDTransform(v=v))
+    keq = agp.SqExponentialKernel(lengthscale=1.0 / v)
+    np.testing.assert_allclose(
+        np.asarray(ka.gram(X, X)), np.asarray(keq.gram(X, X)), atol=1e-12
+    )
+    # LinearTransform == gram over projected inputs
+    A = jnp.asarray(np.random.RandomState(0).randn(2, 3))
+    kl = agp.with_transform(base, agp.LinearTransform(A=A))
+    np.testing.assert_allclose(
+        np.asarray(kl.gram(X, X)), np.asarray(base.gram(X @ A.T, X @ A.T)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(kl.diag(X)), np.diag(np.asarray(kl.gram(X, X))), atol=1e-12
+    )
+    # SelectTransform == slicing; FunctionTransform == applying fn
+    ksel = agp.with_transform(base, agp.SelectTransform(dims=(1,)))
+    np.testing.assert_allclose(
+        np.asarray(ksel.gram(X, X)), np.asarray(base.gram(X[:, 1:2], X[:, 1:2])), atol=1e-12
+    )
+    kf = agp.with_transform(base, agp.FunctionTransform(fn=lambda x: jnp.sin(x)))
+    np.testing.assert_allclose(
+        np.asarray(kf.gram(X, X)), np.asarray(base.gram(jnp.sin(X), jnp.sin(X))), atol=1e-12
+    )
+
+
+def test_unconstrained_mapping_free_params():
+    """to/from_unconstrained: log on positive leaves, identity on
+    FREE_PARAMS (LinearTransform.A is sign-indefinite)."""
+    from agp_tpu.kernels import from_unconstrained, to_unconstrained
+
+    A = jnp.asarray([[1.0, -2.0], [0.5, 3.0]])
+    k = agp.with_transform(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(2.0)),
+        agp.LinearTransform(A=A),
+    )
+    u = to_unconstrained(k)
+    np.testing.assert_allclose(np.asarray(u.transform.A), np.asarray(A))  # untouched
+    np.testing.assert_allclose(np.asarray(u.inner.lengthscale), np.log(2.0))
+    k2 = from_unconstrained(u)
+    assert not np.isnan(np.asarray(k2.transform.A)).any()
+    np.testing.assert_allclose(np.asarray(k2.transform.A), np.asarray(A))
+    np.testing.assert_allclose(np.asarray(k2.inner.lengthscale), 2.0, rtol=1e-12)
+
+
+def test_transformed_kernel_hyperopt():
+    """Hyper step trains a TransformedKernel: the projection matrix A moves
+    unconstrained (no NaNs from log of a negative entry) and the ELBO
+    improves."""
+    key = jax.random.PRNGKey(7)
+    X = jax.random.normal(key, (64, 3))
+    f = jnp.sin(2.0 * X[:, 0]) + 0.3 * X[:, 2]
+    y = f + 0.05 * jax.random.normal(jax.random.PRNGKey(8), (64,))
+    A0 = jnp.asarray([[1.0, 0.2, -0.3], [0.0, 1.0, 0.5]])
+    kern = agp.with_transform(
+        agp.SqExponentialKernel(), agp.LinearTransform(A=A0)
+    )
+    m = agp.SVGP.create(
+        kernel=kern,
+        likelihood=agp.GaussianLikelihood.create(),
+        inference=agp.AnalyticVI(),
+        Z=np.asarray(X[:16]),
+        atfrequency=2,
+    )
+    m, state = agp.train(m, X, y, iterations=30)
+    A_after = np.asarray(m.kernel.transform.A)
+    assert not np.isnan(A_after).any()
+    assert np.abs(A_after - np.asarray(A0)).max() > 1e-6  # it actually moved
+    # positive leaves stayed positive
+    assert float(np.ravel(np.asarray(m.kernel.inner.lengthscale))[0]) > 0
+    pred = agp.predict_y(m, state, X)
+    assert np.isfinite(np.asarray(pred)).all()
 
 
 def test_prior_means():
