@@ -42,7 +42,14 @@ from ..utils.opt import ascent_update
 def compute_kmat(model, X) -> Dict[str, jnp.ndarray]:
     """Cholesky + inverse of the prior covariance over the inducing inputs
     (sparse: Z [L,M,D]; full: the training inputs X)
-    (reference: gpblocks/latentgp.jl:201-207)."""
+    (reference: gpblocks/latentgp.jl:201-207).
+
+    L_inv (the triangular inverse of the Cholesky factor) backs the
+    whitened-basis fused Pallas tier: in-kernel products use W = Knm L^-T
+    whose rows are bounded by sqrt(var) -- unlike kappa = Knm K^-1, whose
+    internal cancellation amplifies MXU split-precision error by
+    cond(Kmm)^(1/2) and silently corrupted theta-dependent likelihoods on
+    hardware (round-3 acceptance sweep)."""
     if model.is_sparse:
         K = batch_gram_zz(model.kernel, model.Z)
     else:
@@ -50,7 +57,69 @@ def compute_kmat(model, X) -> Dict[str, jnp.ndarray]:
     jitt = jitter(K.dtype)
     L_K = jax.vmap(lambda k: linalg.safe_cholesky(k, jitt))(K)
     K_inv = jax.vmap(linalg.chol_inv)(L_K)
-    return {"L_K": L_K, "K_inv": K_inv}
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    L_inv = jax.vmap(
+        lambda l: jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+    )(L_K)
+    return {"L_K": L_K, "K_inv": K_inv, "L_inv": L_inv}
+
+
+def kmat_l_inv(kmat):
+    """kmat["L_inv"], computed from L_K when absent (e.g. the online
+    masked_kmat path, which never reaches the fused tier but shares
+    helpers)."""
+    if "L_inv" in kmat:
+        return kmat["L_inv"]
+    eye = jnp.eye(kmat["L_K"].shape[-1], dtype=kmat["L_K"].dtype)
+    return jax.vmap(
+        lambda l: jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+    )(kmat["L_K"])
+
+
+def whiten_posterior(L_inv, mu, Sigma):
+    """(L_inv, mu_w = L^-1 mu, Sigma_w = L^-1 Sigma L^-T) for the whitened
+    fused tier (single latent: [M]-shaped args; see
+    ops/pallas_kernels.py::fused_cavi_stats).  HIGH precision: |L^-1| is
+    O(lambda_min^-1/2), so 1-pass bf16 products would reintroduce the very
+    error the whitening removes; the O(M^2/M^3) cost is per-step noise next
+    to the O(B M^2) kernel."""
+    hi = jax.lax.Precision.HIGHEST
+    mu_w = jnp.dot(L_inv, mu, precision=hi)
+    Sigma_w = linalg.symmetrize(
+        jnp.dot(jnp.dot(L_inv, Sigma, precision=hi), L_inv.T, precision=hi)
+    )
+    return L_inv, mu_w, Sigma_w
+
+
+def unwhiten_stats(L_inv, u1, U2):
+    """(s1, S2) = (L^-T u1, L^-T U2 L^-1): map the kernel's whitened
+    statistics back to the inducing basis (single latent; adds the [L=1]
+    axis)."""
+    hi = jax.lax.Precision.HIGHEST
+    s1 = jnp.dot(L_inv.T, u1, precision=hi)[None]
+    S2 = linalg.symmetrize(
+        jnp.dot(jnp.dot(L_inv.T, U2, precision=hi), L_inv, precision=hi)
+    )[None]
+    return s1, S2
+
+
+def whiten_posterior_batched(L_inv, mu, Sigma):
+    """vmapped `whiten_posterior` over the latent axis ([L, ...] args)."""
+    return jax.vmap(whiten_posterior)(L_inv, mu, Sigma)
+
+
+def unwhiten_stats_batched(L_inv, u1, U2):
+    """vmapped whitened-statistics unmapping: s1 [L, M], S2 [L, M, M]."""
+    hi = jax.lax.Precision.HIGHEST
+
+    def one(li, u, U):
+        s1 = jnp.dot(li.T, u, precision=hi)
+        S2 = linalg.symmetrize(
+            jnp.dot(jnp.dot(li.T, U, precision=hi), li, precision=hi)
+        )
+        return s1, S2
+
+    return jax.vmap(one)(L_inv, u1, U2)
 
 
 def _kappa_precision():
@@ -180,12 +249,9 @@ def _pallas_kind_batched(model):
         bs = getattr(model.inference, "batchsize", None)
         if getattr(model, "n_inducing", 0) < 512 and (bs is not None and bs < 16384):
             return None
-    kind = _PALLAS_KINDS.get(type(model.kernel).__name__)
-    if kind is None:
-        return None
-    if jnp.ndim(model.kernel.lengthscale) > 1:  # [L, D] ARD: not fused
-        return None
-    return kind
+    # [L, D] ARD lengthscales fold into the coordinates in-kernel (the
+    # batched kernel takes ls as a per-latent [L, D] VMEM input)
+    return _PALLAS_KINDS.get(type(model.kernel).__name__)
 
 
 def _pallas_fused_spec(model):
@@ -227,26 +293,9 @@ def compute_kappa(model, x, kmat):
     (reference: gpblocks/latentgp.jl:209-215).
 
     The reference asserts Ktilde > 0; on accelerators we clamp at a tiny
-    positive floor instead of aborting the jitted program.
-
-    On TPU with a single latent GP and a scalar-lengthscale stationary
-    kernel, the whole chain runs as one fused Pallas kernel (Knm never
-    materializes in HBM; see ops/pallas_kernels.py)."""
-    kind = _pallas_kind(model)
-    if kind is not None:
-        from ..ops import pallas_kernels as pk
-
-        xs, zs, ls = _fused_scaled_inputs(model, x)
-        kappa1, Ktilde1 = pk.fused_kappa(
-            xs,
-            zs,
-            kmat["K_inv"][0],
-            ls,
-            jnp.ravel(model.kernel.variance)[0],
-            jitter(x.dtype),
-            kind=kind,
-        )
-        return None, kappa1[None].astype(x.dtype), Ktilde1[None].astype(x.dtype)
+    positive floor instead of aborting the jitted program.  (The fused TPU
+    tier does not route through here -- it works in the whitened basis; see
+    latent_moments and ops/pallas_kernels.py.)"""
     Knm = batch_gram(model.kernel, x, model.Z)  # [L, B, M]
     # HIGHEST: kappa = Knm K^-1 cancels internally (K_inv entries are
     # O(cond(Kmm)) while kappa is O(1)); at the TPU's default f32 matmul
@@ -272,7 +321,13 @@ def latent_moments(model, state: TrainState, x, kmat):
 
     The n_latent == 1 sparse path uses unbatched [B, M] matmuls: batch-1
     einsums/vmapped ops lower poorly on TPU (measured 3.5x slower per CAVI
-    step than the squeezed forms)."""
+    step than the squeezed forms).
+
+    FUSED-TIER BASIS CONTRACT: when the Pallas tier is active (the same
+    `_pallas_kind`/`_pallas_kind_batched` gates that apply_natural_gradient
+    checks), the third return value is the WHITENED feature matrix
+    W = Knm L^-T, not kappa; apply_natural_gradient unwhitens the
+    statistics it builds from it.  mean_f/var_f are basis-independent."""
     if model.is_sparse:
         if getattr(model, "is_online", False):
             from ..models.online_svgp import masked_kappa
@@ -284,28 +339,33 @@ def latent_moments(model, state: TrainState, x, kmat):
                 from ..ops import pallas_kernels as pk
 
                 xs, zs, ls = _fused_scaled_inputs(model, x)
-                kappa1, Ktilde1 = pk.fused_kappa(
+                L_inv, mu_w, Sigma_w = whiten_posterior(
+                    kmat_l_inv(kmat)[0], state.mu[0], state.Sigma[0]
+                )
+                w1, Ktilde1 = pk.fused_w(
                     xs,
                     zs,
-                    kmat["K_inv"][0],
+                    L_inv.T,
                     ls,
                     jnp.ravel(model.kernel.variance)[0],
                     jitter(x.dtype),
                     kind=kind,
                 )
-                kappa1 = kappa1.astype(x.dtype)
+                w1 = w1.astype(x.dtype)
                 Ktilde1 = Ktilde1.astype(x.dtype)
-            else:
-                kernel1 = jax.tree_util.tree_map(lambda l: l[0], model.kernel)
-                Knm = kernel1.gram(x, model.Z[0])  # [B, M]
-                # HIGHEST: see compute_kappa
-                kappa1 = jnp.dot(
-                    Knm, kmat["K_inv"][0], precision=_kappa_precision()
-                )
-                Ktilde1 = (
-                    kernel1.diag(x) + jitter(Knm.dtype) - jnp.sum(kappa1 * Knm, axis=1)
-                )
-                Ktilde1 = jnp.maximum(Ktilde1, 1e-12)
+                mu_f = jnp.dot(w1, mu_w, precision=jax.lax.Precision.HIGHEST)[None]
+                vf = Ktilde1 + jnp.sum((w1 @ Sigma_w) * w1, axis=1)
+                return mu_f, jnp.maximum(vf, 1e-12)[None], w1[None]
+            kernel1 = jax.tree_util.tree_map(lambda l: l[0], model.kernel)
+            Knm = kernel1.gram(x, model.Z[0])  # [B, M]
+            # HIGHEST: see compute_kappa
+            kappa1 = jnp.dot(
+                Knm, kmat["K_inv"][0], precision=_kappa_precision()
+            )
+            Ktilde1 = (
+                kernel1.diag(x) + jitter(Knm.dtype) - jnp.sum(kappa1 * Knm, axis=1)
+            )
+            Ktilde1 = jnp.maximum(Ktilde1, 1e-12)
             mu_f = (kappa1 @ state.mu[0])[None]
             vf = Ktilde1 + jnp.sum((kappa1 @ state.Sigma[0]) * kappa1, axis=1)
             return mu_f, vf[None], kappa1[None]
@@ -314,18 +374,25 @@ def latent_moments(model, state: TrainState, x, kmat):
             if kind is not None:
                 from ..ops import pallas_kernels as pk
 
-                kappa, mu_f, var_f = pk.fused_kappa_moments_batched(
+                L, D = model.n_latent, x.shape[-1]
+                ls2d = jnp.broadcast_to(
+                    jnp.reshape(model.kernel.lengthscale, (L, -1)), (L, D)
+                )
+                L_inv, mu_w, Sigma_w = whiten_posterior_batched(
+                    kmat_l_inv(kmat), state.mu, state.Sigma
+                )
+                w, mu_f, var_f = pk.fused_kappa_moments_batched(
                     x,
                     model.Z,
-                    kmat["K_inv"],
-                    jnp.ravel(model.kernel.lengthscale),
+                    jnp.swapaxes(L_inv, -1, -2),
+                    ls2d,
                     jnp.ravel(model.kernel.variance),
-                    state.mu,
-                    state.Sigma,
+                    mu_w,
+                    Sigma_w,
                     jitter(x.dtype),
                     kind=kind,
                 )
-                return mu_f.astype(x.dtype), var_f.astype(x.dtype), kappa.astype(x.dtype)
+                return mu_f.astype(x.dtype), var_f.astype(x.dtype), w.astype(x.dtype)
             _, kappa, Ktilde = compute_kappa(model, x, kmat)
         mu_f = jnp.einsum("lbm,lm->lb", kappa, state.mu)
         kS = jnp.einsum(
@@ -371,13 +438,16 @@ def variational_update(model, state: TrainState, x, y, w=None) -> Tuple[Any, Tra
         rho = state.rho
         bf16 = os.environ.get("AGP_TPU_BF16") == "1"
         xs, zs, ls = _fused_scaled_inputs(model, x)
-        s1, S2, c, theta, mf, vf = pk.fused_cavi_stats(
+        L_inv, mu_w, Sigma_w = whiten_posterior(
+            kmat_l_inv(kmat)[0], state.mu[0], state.Sigma[0]
+        )
+        u1, U2, c, theta, mf, vf = pk.fused_cavi_stats(
             xs,
             y,
             zs,
-            kmat["K_inv"][0],
-            state.mu[0],
-            state.Sigma[0],
+            L_inv.T,
+            mu_w,
+            Sigma_w,
             ls,
             jnp.ravel(model.kernel.variance)[0],
             jitter(x.dtype),
@@ -388,6 +458,7 @@ def variational_update(model, state: TrainState, x, y, w=None) -> Tuple[Any, Tra
             lik=lik_name,
             bf16=bf16,
         )
+        s1, S2 = unwhiten_stats(L_inv, u1.astype(x.dtype), U2.astype(x.dtype))
         c = c.astype(x.dtype)
         theta = theta.astype(x.dtype)
         local = dict(state.local_vars)
@@ -410,11 +481,7 @@ def variational_update(model, state: TrainState, x, y, w=None) -> Tuple[Any, Tra
             new_lam = jnp.sum(y) / jnp.sum(expectation(jax.nn.sigmoid, mf, vf))
             model = model.replace(likelihood=model.likelihood.replace(lam=new_lam))
         state = _nat_update_from_stats(
-            model,
-            state.replace(local_vars=local),
-            s1[None].astype(x.dtype),
-            S2[None].astype(x.dtype),
-            x,
+            model, state.replace(local_vars=local), s1, S2, x
         )
         return model, state
 
@@ -437,16 +504,23 @@ def variational_update(model, state: TrainState, x, y, w=None) -> Tuple[Any, Tra
 def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> TrainState:
     """Shared natural-gradient + global update given the latent-axis
     gradient expectations gmu/gs [L, B] (used by both single-likelihood and
-    multi-output paths)."""
+    multi-output paths).
+
+    When the fused Pallas tier is active, `kappa` is the WHITENED feature
+    matrix W = Knm L^-T from latent_moments (same gates -- see its basis
+    contract) and the statistics are unwhitened here."""
     if model.is_sparse:
         rho = state.rho
         kind = _pallas_kind(model) if not getattr(model, "is_online", False) else None
         if kind is not None:
             from ..ops import pallas_kernels as pk
 
-            s1, S2 = pk.cavi_stats(kappa[0], rho * gmu[0], rho * gs[0])
-            s1 = s1[None].astype(kappa.dtype)
-            stat2 = S2[None].astype(kappa.dtype)
+            u1, U2 = pk.cavi_stats(kappa[0], rho * gmu[0], rho * gs[0])
+            s1, stat2 = unwhiten_stats(
+                kmat_l_inv(state.kmat)[0],
+                u1.astype(kappa.dtype),
+                U2.astype(kappa.dtype),
+            )
         elif model.n_latent == 1 and not getattr(model, "is_online", False):
             k1 = kappa[0]
             s1 = (k1.T @ (rho * gmu[0]))[None]
@@ -454,9 +528,12 @@ def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> Train
         elif _pallas_kind_batched(model) is not None:
             from ..ops import pallas_kernels as pk
 
-            s1, stat2 = pk.cavi_stats_batched(kappa, rho * gmu, rho * gs)
-            s1 = s1.astype(kappa.dtype)
-            stat2 = stat2.astype(kappa.dtype)
+            u1, U2 = pk.cavi_stats_batched(kappa, rho * gmu, rho * gs)
+            s1, stat2 = unwhiten_stats_batched(
+                kmat_l_inv(state.kmat),
+                u1.astype(kappa.dtype),
+                U2.astype(kappa.dtype),
+            )
         else:
             s1 = jnp.einsum("lbm,lb->lm", kappa, rho * gmu)
             stat2 = jnp.einsum(

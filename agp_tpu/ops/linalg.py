@@ -88,10 +88,24 @@ def psd_safe_cholesky(A: jnp.ndarray, base: float | None = None) -> jnp.ndarray:
     indefinite by f32/TPU-matmul rounding.  Unlike :func:`safe_cholesky`
     (whose first rung already adds the base jitter -- the convention for
     kernel grams), this ladder STARTS AT ZERO: exact whenever the plain
-    factorization succeeds, escalating base*10^k only on NaN."""
-    if base is None:
-        base = jitter(A.dtype)
+    factorization succeeds, escalating base*10^k only on NaN.
+
+    The default base is NORM-RELATIVE: max(jitter(dtype), 3e-7 * mean
+    diagonal).  A = 2 S2 + K^-1 can reach ||A|| ~ 1e7 in f32 (theta up to
+    sqrt(a)/sqrt(Ktilde) for the heavy-tailed likelihoods), where the true
+    bottom eigenvalues O(1/lambda_max(K)) sit below the f32 rounding of the
+    top -- an absolute ladder capped at 10x jitter cannot restore
+    positive-definiteness there (measured v5e: laplace beta=0.1 NaN'd the
+    chain at step 1; the relative ladder recovers with O(norm * eps)
+    distortion of the least-informed directions only)."""
     M = A.shape[-1]
+    if base is None:
+        mean_diag = jnp.mean(jnp.abs(jnp.diagonal(
+            jax.lax.stop_gradient(A), axis1=-2, axis2=-1)))
+        base = jnp.maximum(
+            jnp.asarray(jitter(A.dtype), A.dtype),
+            (3e-7 * mean_diag).astype(A.dtype),
+        )
     eye = jnp.eye(M, dtype=A.dtype)
     Asg = jax.lax.stop_gradient(A)
 
@@ -170,10 +184,13 @@ def nat_to_moments(eta1: jnp.ndarray, eta2: jnp.ndarray):
     Sigma = -1/2 eta2^-1, mu = Sigma eta1
     (reference: inference/inference.jl:25-28).
 
-    eta2 is symmetric negative-definite; we factorize -eta2 (PD) by Cholesky.
+    eta2 is symmetric negative-definite mathematically; in f32 the bottom of
+    its spectrum can round indefinite when the statistics are large (see
+    psd_safe_cholesky), so the zero-first jitter ladder is the DEFAULT --
+    exact whenever the plain factorization succeeds, NaN-free otherwise.
     """
     M = eta1.shape[-1]
-    L = jnp.linalg.cholesky(-(symmetrize(eta2)))
+    L = psd_safe_cholesky(-(symmetrize(eta2)))
     Sigma = 0.5 * chol_solve(L, jnp.eye(M, dtype=eta1.dtype))
     Sigma = symmetrize(Sigma)
     mu = Sigma @ eta1
@@ -223,10 +240,11 @@ def nat_to_moments_warm(
         return symmetrize(X)
 
     def chol(_):
-        L = jnp.linalg.cholesky(0.5 * A)
+        L = psd_safe_cholesky(0.5 * A)
         return symmetrize(0.5 * chol_solve(L, I))
 
-    Sigma = jax.lax.cond(rho0 < rho_max, schulz, chol, None)
+    # NaN rho0 must take the exact/ladder branch (>= on the complement)
+    Sigma = jax.lax.cond(~(rho0 >= rho_max) & jnp.isfinite(rho0), schulz, chol, None)
     return Sigma @ eta1, Sigma
 
 
@@ -237,7 +255,7 @@ def nat_to_moments_warm_batched(
     Sigma_prev: jnp.ndarray,
     schulz_iters: int = 4,
     rho_max: float = 0.35,
-    safe: bool = False,
+    safe: bool = True,
 ):
     """[L, ...] batched :func:`nat_to_moments_warm`.
 

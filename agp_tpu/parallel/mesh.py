@@ -320,7 +320,10 @@ def sharded_fused_svi_step(
         _fused_scaled_inputs,
         _nat_update_from_stats,
         _pallas_fused_spec,
+        kmat_l_inv,
         pallas_override,
+        unwhiten_stats,
+        whiten_posterior,
     )
     from ..ops import pallas_kernels as pk
 
@@ -341,13 +344,18 @@ def sharded_fused_svi_step(
         with pallas_override("on"):
             _, _, p0, p1, _ = _pallas_fused_spec(model)  # traced lik params
         xs_b, zs, ls = _fused_scaled_inputs(model, x_b)
-        s1, S2, c, theta, _, _ = pk.fused_cavi_stats(
+        # whitened inputs (L_inv, mu, Sigma are replicated, so whitening is
+        # identical on every shard; see ops/pallas_kernels.py basis notes)
+        L_inv, mu_w, Sigma_w = whiten_posterior(
+            kmat_l_inv(state.kmat)[0], state.mu[0], state.Sigma[0]
+        )
+        u1, U2, c, theta, _, _ = pk.fused_cavi_stats(
             xs_b,
             y_b,
             zs,
-            state.kmat["K_inv"][0],
-            state.mu[0],
-            state.Sigma[0],
+            L_inv.T,
+            mu_w,
+            Sigma_w,
             ls,
             jnp.ravel(model.kernel.variance)[0],
             _jitter(x_b.dtype),
@@ -359,10 +367,15 @@ def sharded_fused_svi_step(
             bf16=bf16,
         )
         # rho is applied inside the kernel and the statistics are linear in
-        # the data axis: the psum of per-shard stats IS the global-batch stat.
-        s1 = jax.lax.psum(s1, axis_name)
-        S2 = jax.lax.psum(S2, axis_name)
-        return s1, S2, c, theta
+        # the data axis: the psum of per-shard whitened stats IS the
+        # global-batch stat; unwhitening commutes with the psum (L_inv is
+        # replicated) and runs once after it.
+        u1 = jax.lax.psum(u1, axis_name)
+        U2 = jax.lax.psum(U2, axis_name)
+        s1, S2 = unwhiten_stats(
+            L_inv, u1.astype(x_b.dtype), U2.astype(x_b.dtype)
+        )
+        return s1[0], S2[0], c, theta
 
     stats_sharded = jax.shard_map(
         local_stats,

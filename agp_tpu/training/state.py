@@ -31,7 +31,8 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any = None
     # optimizer states for hyperparameters {kernel, mean, Z}
     hyper_state: Any = None
-    # cached kernel matrices {"L_K": [L,M,M], "K_inv": [L,M,M]}
+    # cached kernel matrices {"L_K": [L,M,M], "K_inv": [L,M,M],
+    # "L_inv": [L,M,M] (sparse/full; online masked_kmat omits L_inv)}
     kmat: Any = None
     # minibatch scaling rho = N / batchsize
     rho: Any = None

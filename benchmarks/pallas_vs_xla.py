@@ -75,28 +75,41 @@ def main():
         X = jax.random.normal(key, (B, D), jnp.float32)
         y = jnp.where(jax.random.normal(jax.random.fold_in(key, 1), (B,)) > 0, 1.0, -1.0)
         Z = jax.random.normal(jax.random.fold_in(key, 2), (M, D), jnp.float32)
-        Kinv = jnp.eye(M) + 0.01 * jax.random.normal(jax.random.fold_in(key, 3), (M, M))
-        Kinv = (Kinv + Kinv.T) / 2
-        mu = jax.random.normal(jax.random.fold_in(key, 4), (M,))
-        Sigma = jnp.eye(M, dtype=jnp.float32)
         ls = jnp.asarray(1.3)
         var = jnp.asarray(1.1)
         rho = jnp.asarray(4.0)
+        zs = Z / ls
+        Kzz = var * jnp.exp(
+            -0.5 * jnp.maximum(
+                jnp.sum(zs * zs, 1)[:, None] + jnp.sum(zs * zs, 1)[None, :]
+                - 2.0 * zs @ zs.T, 0.0)
+        ) + 1e-3 * jnp.eye(M)
+        L = jnp.linalg.cholesky(Kzz)
+        Linv = jax.scipy.linalg.solve_triangular(L, jnp.eye(M), lower=True)
+        Kinv = Linv.T @ Linv
+        mu = jax.random.normal(jax.random.fold_in(key, 4), (M,))
+        Sigma = jnp.eye(M, dtype=jnp.float32)
+        mu_w = Linv @ mu
+        Sigma_w = Linv @ Sigma @ Linv.T
 
         t_x = timeit(xla_stats, X, y, Z, Kinv, mu, Sigma, ls, var, rho)
-        t_p = timeit(
-            lambda: pk.fused_cavi_stats(
-                X, y, Z, Kinv, mu, Sigma, ls, var, 1e-4, rho, kind="rbf", lik="logistic"
+        def pallas_stats():
+            u1, U2, c, th, mf, vf = pk.fused_cavi_stats(
+                X, y, Z, Linv.T, mu_w, Sigma_w, ls, var, 1e-4, rho,
+                kind="rbf", lik="logistic",
             )
-        )
+            # unwhitening is part of the production step: include it
+            s1 = Linv.T @ u1
+            S2 = Linv.T @ U2 @ Linv
+            return s1, S2, c, th
+
+        t_p = timeit(pallas_stats)
         t_xk = timeit(xla_kappa, X, Z, Kinv, ls, var)
-        t_pk = timeit(lambda: pk.fused_kappa(X, Z, Kinv, ls, var, 1e-4, kind="rbf"))
+        t_pk = timeit(lambda: pk.fused_w(X, Z, Linv.T, ls, var, 1e-4, kind="rbf"))
 
         # numerical agreement
         s1x, S2x = xla_stats(X, y, Z, Kinv, mu, Sigma, ls, var, rho)
-        s1p, S2p, _, _ = pk.fused_cavi_stats(
-            X, y, Z, Kinv, mu, Sigma, ls, var, 1e-4, rho, kind="rbf", lik="logistic"
-        )
+        s1p, S2p, _, _ = pallas_stats()
         import numpy as np
 
         err = float(

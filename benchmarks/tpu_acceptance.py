@@ -262,8 +262,170 @@ def proba():
     return auc_proxy, "> 0.3, p in [0,1]", inb and auc_proxy > 0.3
 
 
+# ---------------------------------------------------------------------------
+# Round-3 extension: every fused likelihood at the M >= 512 tier gets its own
+# on-hardware oracle (round 2 proved CPU interpret-mode parity cannot see TPU
+# numerics), plus online-with-hyperopt interleaving, MO proba_y, and the
+# batched (multi-latent) fused tier.
+def _fused_reg_data(key, noise_fn):
+    X, f = _toy(30_000, 2, key=key)
+    y = np.asarray(noise_fn(f))
+    return X, f, y
+
+
+def _fused_svgp(lik, X, minibatch=8192):
+    return agp.SVGP.create(
+        agp.SqExponentialKernel(), lik,
+        agp.AnalyticSVI(minibatch, minibatch_sampling="slice"),
+        Z=X[:512], optimiser=None,
+    )
+
+
+def _fused_reg_check(lik, key, noise_fn, thresh):
+    X, f, y = _fused_reg_data(key, noise_fn)
+    m = _fused_svgp(lik, X)
+    m, s = agp.train(m, X, y, iterations=150)
+    mu = agp.predict_f(m, s, X[:4096])
+    rmse = float(jnp.sqrt(jnp.mean((mu - f[:4096]) ** 2)))
+    return rmse, f"< {thresh}", rmse < thresh
+
+
+@check("fused_tier_studentt_rmse")
+def fused_studentt():
+    def noise(f):
+        e = 0.1 * jax.random.t(jax.random.PRNGKey(31), 4.0, f.shape, DTYPE)
+        return f + e
+
+    return _fused_reg_check(agp.StudentTLikelihood.create(4.0), 30, noise, 0.25)
+
+
+@check("fused_tier_laplace_rmse")
+def fused_laplace():
+    def noise(f):
+        e = jax.random.laplace(jax.random.PRNGKey(33), f.shape, DTYPE)
+        return f + 0.1 * e
+
+    return _fused_reg_check(agp.LaplaceLikelihood.create(0.1), 32, noise, 0.25)
+
+
+@check("fused_tier_matern32lik_rmse")
+def fused_matern32lik():
+    def noise(f):
+        return f + 0.1 * jax.random.normal(jax.random.PRNGKey(35), f.shape, DTYPE)
+
+    return _fused_reg_check(agp.Matern32Likelihood.create(0.2), 34, noise, 0.3)
+
+
+@check("fused_tier_svm_accuracy")
+def fused_svm():
+    X, f = _toy(30_000, 2, key=36)
+    y = np.asarray(jnp.sign(f))
+    m = _fused_svgp(agp.BayesianSVM.create(), X)
+    m, s = agp.train(m, X, y, iterations=150)
+    acc = float(jnp.mean((agp.predict_y(m, s, X[:4096]) > 0) == (jnp.asarray(y[:4096]) > 0)))
+    return acc, "> 0.9", acc > 0.9
+
+
+@check("fused_tier_poisson_rate_corr")
+def fused_poisson():
+    X, f = _toy(30_000, 2, key=38)
+    rate = 20.0 * jax.nn.sigmoid(f)
+    y = np.asarray(jax.random.poisson(jax.random.PRNGKey(39), rate)).astype(np.int64)
+    m = _fused_svgp(agp.PoissonLikelihood.create(10.0), X)
+    m, s = agp.train(m, X, y, iterations=150)
+    pred = agp.predict_y(m, s, X[:4096])
+    corr = float(jnp.corrcoef(jnp.stack([pred, rate[:4096]]))[0, 1])
+    return corr, "> 0.8", corr > 0.8 and np.isfinite(corr)
+
+
+@check("fused_tier_negbinomial_mean_corr")
+def fused_negbinomial():
+    X, f = _toy(30_000, 2, key=40)
+    p = jax.nn.sigmoid(f - 1.0)
+    r = 5.0
+    mean = r * p / (1.0 - p)
+    rs = np.random.RandomState(41)
+    # NB(r, p) as Poisson(Gamma(r, p/(1-p)))
+    lam = rs.gamma(r, np.asarray(p / (1.0 - p)))
+    y = rs.poisson(lam).astype(np.int64)
+    m = _fused_svgp(agp.NegBinomialLikelihood.create(r), X)
+    m, s = agp.train(m, X, y, iterations=150)
+    pred = agp.predict_y(m, s, X[:4096])
+    corr = float(jnp.corrcoef(jnp.stack([pred, mean[:4096]]))[0, 1])
+    return corr, "> 0.8", corr > 0.8 and np.isfinite(corr)
+
+
+@check("fused_batched_multiclass_m512_accuracy")
+def fused_batched_multiclass():
+    """Batched (multi-latent) fused tier on chip: K=3 logistic-softmax at
+    M=512 drives fused_kappa_moments_batched + cavi_stats_batched."""
+    key = jax.random.PRNGKey(42)
+    X = jax.random.normal(key, (30_000, 2), DTYPE)
+    centers = jnp.asarray([[1.5, 0.0], [-1.5, 1.0], [0.0, -1.5]], DTYPE)
+    d2 = jnp.sum((X[:, None, :] - centers[None]) ** 2, -1)
+    y = np.asarray(jnp.argmin(d2, axis=1))
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticSoftMaxLikelihood.create(3),
+        agp.AnalyticSVI(8192, minibatch_sampling="slice"),
+        Z=X[:512], optimiser=None,
+    )
+    m, s = agp.train(m, X, y, iterations=200)
+    pred = agp.predict_y(m, s, X[:4096])
+    acc = float(jnp.mean(pred == jnp.asarray(y[:4096])))
+    return acc, "> 0.85", acc > 0.85
+
+
+@check("online_hyperopt_interleaved_rmse")
+def online_hyperopt():
+    """Streaming + hyperparameter optimization interleaved (atfrequency=5):
+    the round-2 audit's untested hardware path."""
+    import optax
+
+    X, f = _toy(4096, 2, key=44)
+    y = np.asarray(f + 0.05 * jax.random.normal(jax.random.PRNGKey(45), f.shape, DTYPE))
+    m = agp.OnlineSVGP.create(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(2.0, DTYPE)),
+        agp.GaussianLikelihood.create(0.05, opt_noise=False),
+        agp.AnalyticVI(), n_dim=2, capacity=128,
+        optimiser=optax.adam(0.02), atfrequency=5,
+    )
+    s = None
+    for i in range(8):
+        m, s = agp.online_train(m, X[i * 512:(i + 1) * 512], y[i * 512:(i + 1) * 512],
+                                state=s, iterations=25)
+    ls = float(jnp.ravel(m.kernel.lengthscale)[0])
+    mu = agp.predict_f(m, s, X[:512])
+    rmse = float(jnp.sqrt(jnp.mean((mu - f[:512]) ** 2)))
+    return rmse, "< 0.2, ls finite+moved", rmse < 0.2 and np.isfinite(ls) and abs(ls - 2.0) > 1e-3
+
+
+@check("mo_proba_y_per_task")
+def mo_proba():
+    """MO predictive push-through per task: classification probabilities in
+    [0,1] and class-separating; regression mean finite."""
+    X, f = _toy(2048, 2, key=46)
+    y1 = np.asarray(f)
+    y2 = np.sign(np.asarray(f) - 0.2)
+    m = agp.MOSVGP.create(
+        agp.SqExponentialKernel(),
+        [agp.GaussianLikelihood.create(0.1, opt_noise=False), agp.LogisticLikelihood.create()],
+        agp.AnalyticVI(), X[:32], n_latent=2, optimiser=None,
+    )
+    m, s = agp.mo_train(m, X, [y1, y2], iterations=80)
+    probas = agp.mo_proba_y(m, s, X[:1024])
+    p2 = probas[1]
+    inb = bool(jnp.all((p2 >= 0) & (p2 <= 1)))
+    sep = float(jnp.mean(p2[jnp.asarray(y2[:1024]) > 0]) - jnp.mean(p2[jnp.asarray(y2[:1024]) < 0]))
+    # Gaussian task: compute_proba returns (mean, var + sigma2)
+    finite = bool(jnp.isfinite(probas[0][0]).all() and jnp.isfinite(probas[0][1]).all())
+    return sep, "> 0.2, p in [0,1], reg finite", inb and finite and sep > 0.2
+
+
 CHECKS = [gp_exact, svgp_logistic, svgp_hyperopt, multiclass, hetero, vstp,
-          online, gibbs_cavi, mo, quad_vi, nuts, fused_tier, proba]
+          online, gibbs_cavi, mo, quad_vi, nuts, fused_tier, proba,
+          fused_studentt, fused_laplace, fused_matern32lik, fused_svm,
+          fused_poisson, fused_negbinomial, fused_batched_multiclass,
+          online_hyperopt, mo_proba]
 
 
 def main():

@@ -21,20 +21,28 @@ def setup():
     ls, var, jitt = 1.3, 2.0, 1e-3
     K = var * jnp.exp(-0.5 * ((Z[:, None] - Z[None]) ** 2).sum(-1) / ls**2) + jitt * jnp.eye(M)
     Kinv = jnp.linalg.inv(K)
+    L = jnp.linalg.cholesky(K)
+    Linv = jax.scipy.linalg.solve_triangular(L, jnp.eye(M, dtype=K.dtype), lower=True)
     Knm = var * jnp.exp(-0.5 * ((X[:, None] - Z[None]) ** 2).sum(-1) / ls**2)
     kappa = Knm @ Kinv
-    return dict(X=X, Z=Z, y=y, ls=ls, var=var, jitt=jitt, Kinv=Kinv, Knm=Knm, kappa=kappa)
+    W = Knm @ Linv.T
+    return dict(X=X, Z=Z, y=y, ls=ls, var=var, jitt=jitt, Kinv=Kinv, Knm=Knm,
+                kappa=kappa, L=L, Linv=Linv, W=W)
 
 
-def test_fused_kappa(setup):
+def test_fused_w(setup):
     s = setup
-    Kt_ref = jnp.maximum(s["var"] + s["jitt"] - jnp.sum(s["kappa"] * s["Knm"], 1), 1e-12)
+    Kt_ref = jnp.maximum(s["var"] + s["jitt"] - jnp.sum(s["W"] ** 2, 1), 1e-12)
     with pltpu.force_tpu_interpret_mode():
-        kappa, ktilde = pk.fused_kappa(
-            s["X"], s["Z"], s["Kinv"], s["ls"], s["var"], s["jitt"], tile_b=128
+        w, ktilde = pk.fused_w(
+            s["X"], s["Z"], s["Linv"].T, s["ls"], s["var"], s["jitt"], tile_b=128
         )
-    np.testing.assert_allclose(np.asarray(kappa), np.asarray(s["kappa"]), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(s["W"]), atol=5e-5)
     np.testing.assert_allclose(np.asarray(ktilde), np.asarray(Kt_ref), atol=5e-5)
+    # kappa recovers as W L^-1
+    np.testing.assert_allclose(
+        np.asarray(w @ s["Linv"]), np.asarray(s["kappa"]), atol=2e-4
+    )
 
 
 def test_cavi_stats(setup):
@@ -67,11 +75,16 @@ def test_fused_cavi_stats_padding_masked(setup):
     th = jnp.tanh(c / 2) / (2 * c)
     s1_ref = kappa.T @ (rho * s["y"] / 2)
     S2_ref = (kappa * (rho * th / 2)[:, None]).T @ kappa
+    Linv = s["Linv"]
+    mu_w = Linv @ mu
+    Sigma_w = Linv @ Sigma @ Linv.T
     with pltpu.force_tpu_interpret_mode():
-        s1, S2, c_out, th_out, mf_out, vf_out = pk.fused_cavi_stats(
-            s["X"], s["y"], s["Z"], s["Kinv"], mu, Sigma,
+        u1, U2, c_out, th_out, mf_out, vf_out = pk.fused_cavi_stats(
+            s["X"], s["y"], s["Z"], Linv.T, mu_w, Sigma_w,
             s["ls"], s["var"], s["jitt"], rho, kind="rbf", lik="logistic", tile_b=128,
         )
+    s1 = Linv.T @ u1
+    S2 = Linv.T @ U2 @ Linv
     np.testing.assert_allclose(np.asarray(mf_out), np.asarray(mf), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(vf_out), np.asarray(vf), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s1_ref), rtol=1e-4, atol=1e-4)
@@ -189,54 +202,74 @@ def test_batched_kappa_moments_and_stats():
         return v * jnp.exp(-0.5 * r2)
 
     K = jax.vmap(lambda z, l, v: gram(z, z, l, v) + jitt * jnp.eye(M))(Z, ls, var)
-    Kinv = jnp.linalg.inv(K)
+    Lc = jnp.linalg.cholesky(K)
+    Linv = jax.vmap(
+        lambda l: jax.scipy.linalg.solve_triangular(l, jnp.eye(M, dtype=l.dtype), lower=True)
+    )(Lc)
     mu = jax.random.normal(ks[2], (L, M))
     A = jax.random.normal(ks[3], (L, M, M))
     Sigma = jnp.einsum("lmn,lkn->lmk", A, A) / M + jnp.eye(M)[None]
+    mu_w = jnp.einsum("lmn,ln->lm", Linv, mu)
+    Sigma_w = jnp.einsum("lmn,lnk,lpk->lmp", Linv, Sigma, Linv)
 
     Knm = jax.vmap(lambda z, l, v: gram(X, z, l, v))(Z, ls, var)
-    kap_r = jnp.einsum("lbm,lmn->lbn", Knm, Kinv)
-    mf_r = jnp.einsum("lbm,lm->lb", kap_r, mu)
-    kt_r = jnp.maximum(var[:, None] + jitt - jnp.sum(kap_r * Knm, -1), 1e-12)
-    vf_r = kt_r + jnp.einsum("lbm,lmn,lbn->lb", kap_r, Sigma, kap_r)
+    w_r = jnp.einsum("lbm,lnm->lbn", Knm, Linv)  # Knm L^-T
+    mf_r = jnp.einsum("lbm,lm->lb", w_r, mu_w)
+    kt_r = jnp.maximum(var[:, None] + jitt - jnp.sum(w_r**2, -1), 1e-12)
+    vf_r = kt_r + jnp.einsum("lbm,lmn,lbn->lb", w_r, Sigma_w, w_r)
 
     with pltpu.force_tpu_interpret_mode():
-        kap, mf, vf = pk.fused_kappa_moments_batched(
-            X, Z, Kinv, ls, var, mu, Sigma, jitt, kind="rbf", tile_b=128
+        w, mf, vf = pk.fused_kappa_moments_batched(
+            X, Z, jnp.swapaxes(Linv, -1, -2), ls, var, mu_w, Sigma_w, jitt,
+            kind="rbf", tile_b=128
         )
-    # kappa via _dot3 (3-pass bf16): ~2^-16-level differences vs the
+    # W via _dot3 (3-pass bf16): ~2^-16-level differences vs the
     # f32/f64 reference
-    np.testing.assert_allclose(np.asarray(kap), np.asarray(kap_r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_r), atol=1e-3)
     np.testing.assert_allclose(np.asarray(mf), np.asarray(mf_r), atol=1e-3)
     np.testing.assert_allclose(np.asarray(vf), np.asarray(vf_r), atol=2e-3)
 
     g = jax.random.normal(ks[4], (L, B))
     th = jax.random.uniform(ks[5], (L, B))
     with pltpu.force_tpu_interpret_mode():
-        s1, S2 = pk.cavi_stats_batched(kap_r, g, th, tile_b=128)
+        u1, U2 = pk.cavi_stats_batched(w_r, g, th, tile_b=128)
+    np.testing.assert_allclose(
+        np.asarray(u1), np.asarray(jnp.einsum("lbm,lb->lm", w_r, g)),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(U2),
+        np.asarray(jnp.einsum("lbm,lb,lbn->lmn", w_r, th, w_r)),
+        rtol=1e-3, atol=1e-4,
+    )
+    # whitened statistics unmap to the kappa-basis references
+    kap_r = jnp.einsum("lbm,lnm,lnp->lbp", Knm, Linv, Linv)  # Knm K^-1
+    s1 = jnp.einsum("lnm,ln->lm", Linv, u1)
+    S2 = jnp.einsum("lnm,lnk,lkp->lmp", Linv, U2, Linv)
     np.testing.assert_allclose(
         np.asarray(s1), np.asarray(jnp.einsum("lbm,lb->lm", kap_r, g)),
-        rtol=1e-4, atol=1e-4,
+        rtol=1e-3, atol=1e-3,
     )
     np.testing.assert_allclose(
         np.asarray(S2),
         np.asarray(jnp.einsum("lbm,lb,lbn->lmn", kap_r, th, kap_r)),
-        rtol=1e-3, atol=1e-4,
+        rtol=1e-2, atol=1e-3,
     )
 
     # hyperparameter gradients flow through the XLA-twin VJP
     def loss(lsx):
         _, mfx, vfx = pk.fused_kappa_moments_batched(
-            X, Z, Kinv, lsx, var, mu, Sigma, jitt, kind="rbf", tile_b=128
+            X, Z, jnp.swapaxes(Linv, -1, -2), lsx, var, mu_w, Sigma_w, jitt,
+            kind="rbf", tile_b=128
         )
         return jnp.sum(mfx**2) + jnp.sum(vfx)
 
     def loss_ref(lsx):
         knm = jax.vmap(lambda z, l, v: gram(X, z, l, v))(Z, lsx, var)
-        kapx = jnp.einsum("lbm,lmn->lbn", knm, Kinv)
-        mfx = jnp.einsum("lbm,lm->lb", kapx, mu)
-        ktx = jnp.maximum(var[:, None] + jitt - jnp.sum(kapx * knm, -1), 1e-12)
-        vfx = ktx + jnp.einsum("lbm,lmn,lbn->lb", kapx, Sigma, kapx)
+        wx = jnp.einsum("lbm,lnm->lbn", knm, Linv)
+        mfx = jnp.einsum("lbm,lm->lb", wx, mu_w)
+        ktx = jnp.maximum(var[:, None] + jitt - jnp.sum(wx**2, -1), 1e-12)
+        vfx = ktx + jnp.einsum("lbm,lmn,lbn->lb", wx, Sigma_w, wx)
         return jnp.sum(mfx**2) + jnp.sum(vfx)
 
     with pltpu.force_tpu_interpret_mode():
@@ -244,6 +277,73 @@ def test_batched_kappa_moments_and_stats():
     # backward runs through the _dot3 twin: bf16x3-level agreement
     np.testing.assert_allclose(
         np.asarray(g_p), np.asarray(jax.grad(loss_ref)(ls)), rtol=2e-2
+    )
+
+
+def test_batched_kappa_moments_ard():
+    """[L, D] per-latent ARD lengthscales fold into the coordinates inside
+    the batched kernel (round-3: the ARD bail-out in _pallas_kind_batched is
+    lifted)."""
+    L, B, D, M = 2, 200, 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(5), 5)
+    X = jax.random.normal(ks[0], (B, D))
+    Z = jax.random.normal(ks[1], (L, M, D))
+    ls = jnp.exp(0.3 * jax.random.normal(ks[2], (L, D)))  # [L, D] ARD
+    var = jnp.array([1.0, 1.7])
+    jitt = 1e-4
+
+    def gram(x, z, l, v):
+        r2 = ((x[:, None, :] / l - z[None] / l) ** 2).sum(-1)
+        return v * jnp.exp(-0.5 * r2)
+
+    K = jax.vmap(lambda z, l, v: gram(z, z, l, v) + jitt * jnp.eye(M))(Z, ls, var)
+    Lc = jnp.linalg.cholesky(K)
+    Linv = jax.vmap(
+        lambda l: jax.scipy.linalg.solve_triangular(l, jnp.eye(M, dtype=l.dtype), lower=True)
+    )(Lc)
+    LinvT = jnp.swapaxes(Linv, -1, -2)
+    mu = jax.random.normal(ks[3], (L, M))
+    A = jax.random.normal(ks[4], (L, M, M))
+    Sigma = jnp.einsum("lmn,lkn->lmk", A, A) / M + jnp.eye(M)[None]
+    mu_w = jnp.einsum("lmn,ln->lm", Linv, mu)
+    Sigma_w = jnp.einsum("lmn,lnk,lpk->lmp", Linv, Sigma, Linv)
+
+    Knm = jax.vmap(lambda z, l, v: gram(X, z, l, v))(Z, ls, var)
+    w_r = jnp.einsum("lbm,lnm->lbn", Knm, Linv)
+    mf_r = jnp.einsum("lbm,lm->lb", w_r, mu_w)
+    kt_r = jnp.maximum(var[:, None] + jitt - jnp.sum(w_r**2, -1), 1e-12)
+    vf_r = kt_r + jnp.einsum("lbm,lmn,lbn->lb", w_r, Sigma_w, w_r)
+
+    with pltpu.force_tpu_interpret_mode():
+        w, mf, vf = pk.fused_kappa_moments_batched(
+            X, Z, LinvT, ls, var, mu_w, Sigma_w, jitt, kind="rbf", tile_b=128
+        )
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mf), np.asarray(mf_r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vf_r), atol=2e-3)
+
+    # hyper-gradients wrt the [L, D] ARD leaves flow through the twin VJP
+    def loss(lsx):
+        _, mfx, vfx = pk.fused_kappa_moments_batched(
+            X, Z, LinvT, lsx, var, mu_w, Sigma_w, jitt, kind="rbf", tile_b=128
+        )
+        return jnp.sum(mfx**2) + jnp.sum(vfx)
+
+    def loss_ref(lsx):
+        knm = jax.vmap(lambda z, l, v: gram(X, z, l, v))(Z, lsx, var)
+        wx = jnp.einsum("lbm,lnm->lbn", knm, Linv)
+        mfx = jnp.einsum("lbm,lm->lb", wx, mu_w)
+        ktx = jnp.maximum(var[:, None] + jitt - jnp.sum(wx**2, -1), 1e-12)
+        vfx = ktx + jnp.einsum("lbm,lmn,lbn->lb", wx, Sigma_w, wx)
+        return jnp.sum(mfx**2) + jnp.sum(vfx)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_p = jax.block_until_ready(jax.jit(jax.grad(loss))(ls))
+    # f32 3-pass twin vs f64 einsum reference; the sum-of-squares loss
+    # amplifies split-precision differences -- the sharp ARD-gradient oracle
+    # is test_fused_production_step_ard_matches_xla (same math both arms)
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(jax.grad(loss_ref)(ls)), rtol=8e-2, atol=1e-3
     )
 
 
