@@ -44,12 +44,11 @@ def compute_kmat(model, X) -> Dict[str, jnp.ndarray]:
     (sparse: Z [L,M,D]; full: the training inputs X)
     (reference: gpblocks/latentgp.jl:201-207).
 
-    L_inv (the triangular inverse of the Cholesky factor) backs the
-    whitened-basis fused Pallas tier: in-kernel products use W = Knm L^-T
-    whose rows are bounded by sqrt(var) -- unlike kappa = Knm K^-1, whose
-    internal cancellation amplifies MXU split-precision error by
-    cond(Kmm)^(1/2) and silently corrupted theta-dependent likelihoods on
-    hardware (round-3 acceptance sweep)."""
+    L_inv (the triangular inverse of the Cholesky factor) backs the fused
+    Pallas tier: kappa forms in-kernel as (Knm L^-T) L^-1 -- two factors
+    that each cancel only by sqrt(cond(Kmm)), where the direct Knm K^-1
+    product cancels by cond(Kmm) and corrupted theta-dependent likelihoods
+    on hardware (see ops/pallas_kernels.py module docstring)."""
     if model.is_sparse:
         K = batch_gram_zz(model.kernel, model.Z)
     else:
@@ -57,11 +56,16 @@ def compute_kmat(model, X) -> Dict[str, jnp.ndarray]:
     jitt = jitter(K.dtype)
     L_K = jax.vmap(lambda k: linalg.safe_cholesky(k, jitt))(K)
     K_inv = jax.vmap(linalg.chol_inv)(L_K)
-    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
-    L_inv = jax.vmap(
-        lambda l: jax.scipy.linalg.solve_triangular(l, eye, lower=True)
-    )(L_K)
-    return {"L_K": L_K, "K_inv": K_inv, "L_inv": L_inv}
+    out = {"L_K": L_K, "K_inv": K_inv}
+    if model.is_sparse:
+        # only the sparse fused tier consumes L_inv; for full models K is
+        # [L, N, N] over the whole training set and the extra O(N^3)
+        # triangular solve (+50% kmat memory) would be pure waste
+        eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+        out["L_inv"] = jax.vmap(
+            lambda l: jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+        )(L_K)
+    return out
 
 
 def kmat_l_inv(kmat):
@@ -74,52 +78,6 @@ def kmat_l_inv(kmat):
     return jax.vmap(
         lambda l: jax.scipy.linalg.solve_triangular(l, eye, lower=True)
     )(kmat["L_K"])
-
-
-def whiten_posterior(L_inv, mu, Sigma):
-    """(L_inv, mu_w = L^-1 mu, Sigma_w = L^-1 Sigma L^-T) for the whitened
-    fused tier (single latent: [M]-shaped args; see
-    ops/pallas_kernels.py::fused_cavi_stats).  HIGH precision: |L^-1| is
-    O(lambda_min^-1/2), so 1-pass bf16 products would reintroduce the very
-    error the whitening removes; the O(M^2/M^3) cost is per-step noise next
-    to the O(B M^2) kernel."""
-    hi = jax.lax.Precision.HIGHEST
-    mu_w = jnp.dot(L_inv, mu, precision=hi)
-    Sigma_w = linalg.symmetrize(
-        jnp.dot(jnp.dot(L_inv, Sigma, precision=hi), L_inv.T, precision=hi)
-    )
-    return L_inv, mu_w, Sigma_w
-
-
-def unwhiten_stats(L_inv, u1, U2):
-    """(s1, S2) = (L^-T u1, L^-T U2 L^-1): map the kernel's whitened
-    statistics back to the inducing basis (single latent; adds the [L=1]
-    axis)."""
-    hi = jax.lax.Precision.HIGHEST
-    s1 = jnp.dot(L_inv.T, u1, precision=hi)[None]
-    S2 = linalg.symmetrize(
-        jnp.dot(jnp.dot(L_inv.T, U2, precision=hi), L_inv, precision=hi)
-    )[None]
-    return s1, S2
-
-
-def whiten_posterior_batched(L_inv, mu, Sigma):
-    """vmapped `whiten_posterior` over the latent axis ([L, ...] args)."""
-    return jax.vmap(whiten_posterior)(L_inv, mu, Sigma)
-
-
-def unwhiten_stats_batched(L_inv, u1, U2):
-    """vmapped whitened-statistics unmapping: s1 [L, M], S2 [L, M, M]."""
-    hi = jax.lax.Precision.HIGHEST
-
-    def one(li, u, U):
-        s1 = jnp.dot(li.T, u, precision=hi)
-        S2 = linalg.symmetrize(
-            jnp.dot(jnp.dot(li.T, U, precision=hi), li, precision=hi)
-        )
-        return s1, S2
-
-    return jax.vmap(one)(L_inv, u1, U2)
 
 
 def _kappa_precision():
@@ -204,7 +162,10 @@ def _pallas_kind(model):
     """Fused-kernel kind when the single-latent Pallas path applies: TPU
     backend, stationary kernel, winning shape.  ARD lengthscales fold into
     the inputs (`_fused_scaled_inputs`), so the kernel always sees an
-    isotropic ls.
+    isotropic ls.  Since round 4 the fused tier is basis-transparent
+    (kernels return kappa, never whitened features), so every
+    latent_moments consumer -- including NumericalVI's d1/d2 contractions
+    (the round-3 advisor finding) -- reads the third output safely.
 
     Shape policy (v5e end-to-end sweeps with the Newton-Schulz moments
     conversion in place, RESULTS.md): XLA wins up through M=256 (1.14-1.6x);
@@ -294,8 +255,9 @@ def compute_kappa(model, x, kmat):
 
     The reference asserts Ktilde > 0; on accelerators we clamp at a tiny
     positive floor instead of aborting the jitted program.  (The fused TPU
-    tier does not route through here -- it works in the whitened basis; see
-    latent_moments and ops/pallas_kernels.py.)"""
+    tier does not route through here -- its kernels form kappa in-kernel
+    via the whitened intermediate; see latent_moments and
+    ops/pallas_kernels.py.)"""
     Knm = batch_gram(model.kernel, x, model.Z)  # [L, B, M]
     # HIGHEST: kappa = Knm K^-1 cancels internally (K_inv entries are
     # O(cond(Kmm)) while kappa is O(1)); at the TPU's default f32 matmul
@@ -323,11 +285,11 @@ def latent_moments(model, state: TrainState, x, kmat):
     einsums/vmapped ops lower poorly on TPU (measured 3.5x slower per CAVI
     step than the squeezed forms).
 
-    FUSED-TIER BASIS CONTRACT: when the Pallas tier is active (the same
-    `_pallas_kind`/`_pallas_kind_batched` gates that apply_natural_gradient
-    checks), the third return value is the WHITENED feature matrix
-    W = Knm L^-T, not kappa; apply_natural_gradient unwhitens the
-    statistics it builds from it.  mean_f/var_f are basis-independent."""
+    The third return value is ALWAYS kappa (basis-transparent since round
+    4): the fused Pallas kernels form kappa in-kernel through the whitened
+    intermediate W = Knm L^-T (ops/pallas_kernels.py module docstring), so
+    every consumer -- apply_natural_gradient, numerical_vi's d1/d2, the MO
+    mixing path -- contracts against the same kappa the XLA path yields."""
     if model.is_sparse:
         if getattr(model, "is_online", False):
             from ..models.online_svgp import masked_kappa
@@ -339,23 +301,21 @@ def latent_moments(model, state: TrainState, x, kmat):
                 from ..ops import pallas_kernels as pk
 
                 xs, zs, ls = _fused_scaled_inputs(model, x)
-                L_inv, mu_w, Sigma_w = whiten_posterior(
-                    kmat_l_inv(kmat)[0], state.mu[0], state.Sigma[0]
-                )
-                w1, Ktilde1 = pk.fused_w(
+                kappa1, Ktilde1 = pk.fused_kappa(
                     xs,
                     zs,
-                    L_inv.T,
+                    kmat_l_inv(kmat)[0].T,
                     ls,
                     jnp.ravel(model.kernel.variance)[0],
                     jitter(x.dtype),
                     kind=kind,
                 )
-                w1 = w1.astype(x.dtype)
+                kappa1 = kappa1.astype(x.dtype)
                 Ktilde1 = Ktilde1.astype(x.dtype)
-                mu_f = jnp.dot(w1, mu_w, precision=jax.lax.Precision.HIGHEST)[None]
-                vf = Ktilde1 + jnp.sum((w1 @ Sigma_w) * w1, axis=1)
-                return mu_f, jnp.maximum(vf, 1e-12)[None], w1[None]
+                mu_f = (kappa1 @ state.mu[0])[None]
+                kS = jnp.dot(kappa1, state.Sigma[0])
+                vf = Ktilde1 + jnp.sum(kS * kappa1, axis=1)
+                return mu_f, jnp.maximum(vf, 1e-12)[None], kappa1[None]
             kernel1 = jax.tree_util.tree_map(lambda l: l[0], model.kernel)
             Knm = kernel1.gram(x, model.Z[0])  # [B, M]
             # HIGHEST: see compute_kappa
@@ -378,21 +338,22 @@ def latent_moments(model, state: TrainState, x, kmat):
                 ls2d = jnp.broadcast_to(
                     jnp.reshape(model.kernel.lengthscale, (L, -1)), (L, D)
                 )
-                L_inv, mu_w, Sigma_w = whiten_posterior_batched(
-                    kmat_l_inv(kmat), state.mu, state.Sigma
-                )
-                w, mu_f, var_f = pk.fused_kappa_moments_batched(
+                kappa, mu_f, var_f = pk.fused_kappa_moments_batched(
                     x,
                     model.Z,
-                    jnp.swapaxes(L_inv, -1, -2),
+                    jnp.swapaxes(kmat_l_inv(kmat), -1, -2),
                     ls2d,
                     jnp.ravel(model.kernel.variance),
-                    mu_w,
-                    Sigma_w,
+                    state.mu,
+                    state.Sigma,
                     jitter(x.dtype),
                     kind=kind,
                 )
-                return mu_f.astype(x.dtype), var_f.astype(x.dtype), w.astype(x.dtype)
+                return (
+                    mu_f.astype(x.dtype),
+                    var_f.astype(x.dtype),
+                    kappa.astype(x.dtype),
+                )
             _, kappa, Ktilde = compute_kappa(model, x, kmat)
         mu_f = jnp.einsum("lbm,lm->lb", kappa, state.mu)
         kS = jnp.einsum(
@@ -432,22 +393,16 @@ def variational_update(model, state: TrainState, x, y, w=None) -> Tuple[Any, Tra
     if fused is not None:
         from ..ops import pallas_kernels as pk
 
-        import os
-
         kind, lik_name, p0, p1, c_key = fused
         rho = state.rho
-        bf16 = os.environ.get("AGP_TPU_BF16") == "1"
         xs, zs, ls = _fused_scaled_inputs(model, x)
-        L_inv, mu_w, Sigma_w = whiten_posterior(
-            kmat_l_inv(kmat)[0], state.mu[0], state.Sigma[0]
-        )
-        u1, U2, c, theta, mf, vf = pk.fused_cavi_stats(
+        s1, S2, c, theta, mf, vf = pk.fused_cavi_stats(
             xs,
             y,
             zs,
-            L_inv.T,
-            mu_w,
-            Sigma_w,
+            kmat_l_inv(kmat)[0].T,
+            state.mu[0],
+            state.Sigma[0],
             ls,
             jnp.ravel(model.kernel.variance)[0],
             jitter(x.dtype),
@@ -456,9 +411,9 @@ def variational_update(model, state: TrainState, x, y, w=None) -> Tuple[Any, Tra
             lik_p1=p1,
             kind=kind,
             lik=lik_name,
-            bf16=bf16,
         )
-        s1, S2 = unwhiten_stats(L_inv, u1.astype(x.dtype), U2.astype(x.dtype))
+        s1 = s1.astype(x.dtype)[None]
+        S2 = S2.astype(x.dtype)[None]
         c = c.astype(x.dtype)
         theta = theta.astype(x.dtype)
         local = dict(state.local_vars)
@@ -504,23 +459,18 @@ def variational_update(model, state: TrainState, x, y, w=None) -> Tuple[Any, Tra
 def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> TrainState:
     """Shared natural-gradient + global update given the latent-axis
     gradient expectations gmu/gs [L, B] (used by both single-likelihood and
-    multi-output paths).
-
-    When the fused Pallas tier is active, `kappa` is the WHITENED feature
-    matrix W = Knm L^-T from latent_moments (same gates -- see its basis
-    contract) and the statistics are unwhitened here."""
+    multi-output paths).  `kappa` is always kappa (latent_moments is
+    basis-transparent since round 4), so the Pallas branches differ from
+    the XLA einsums only in their one-HBM-pass accumulation."""
     if model.is_sparse:
         rho = state.rho
         kind = _pallas_kind(model) if not getattr(model, "is_online", False) else None
         if kind is not None:
             from ..ops import pallas_kernels as pk
 
-            u1, U2 = pk.cavi_stats(kappa[0], rho * gmu[0], rho * gs[0])
-            s1, stat2 = unwhiten_stats(
-                kmat_l_inv(state.kmat)[0],
-                u1.astype(kappa.dtype),
-                U2.astype(kappa.dtype),
-            )
+            s1, stat2 = pk.cavi_stats(kappa[0], rho * gmu[0], rho * gs[0])
+            s1 = s1.astype(kappa.dtype)[None]
+            stat2 = stat2.astype(kappa.dtype)[None]
         elif model.n_latent == 1 and not getattr(model, "is_online", False):
             k1 = kappa[0]
             s1 = (k1.T @ (rho * gmu[0]))[None]
@@ -528,12 +478,9 @@ def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> Train
         elif _pallas_kind_batched(model) is not None:
             from ..ops import pallas_kernels as pk
 
-            u1, U2 = pk.cavi_stats_batched(kappa, rho * gmu, rho * gs)
-            s1, stat2 = unwhiten_stats_batched(
-                kmat_l_inv(state.kmat),
-                u1.astype(kappa.dtype),
-                U2.astype(kappa.dtype),
-            )
+            s1, stat2 = pk.cavi_stats_batched(kappa, rho * gmu, rho * gs)
+            s1 = s1.astype(kappa.dtype)
+            stat2 = stat2.astype(kappa.dtype)
         else:
             s1 = jnp.einsum("lbm,lb->lm", kappa, rho * gmu)
             stat2 = jnp.einsum(

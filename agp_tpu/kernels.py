@@ -78,9 +78,13 @@ class Kernel(struct.PyTreeNode):
     A subclass whose parameters are sign-indefinite (e.g. a linear input
     transform's matrix) lists those field names in ``FREE_PARAMS``; the
     hyper step then updates them unconstrained (see `to_unconstrained`).
+    Parameters constrained to (0, 1) (e.g. the FBM Hurst index) go in
+    ``UNIT_PARAMS`` and are optimized through a logit/sigmoid
+    reparameterization.
     """
 
     FREE_PARAMS = frozenset()  # no annotation: class attr, not a dataclass field
+    UNIT_PARAMS = frozenset()
 
     def gram(self, X: jnp.ndarray, Z: jnp.ndarray | None = None) -> jnp.ndarray:
         raise NotImplementedError
@@ -292,8 +296,12 @@ class PiecewisePolynomialKernel(StationaryKernel):
 class FBMKernel(Kernel):
     """Fractional-Brownian-motion kernel
     k(x,z) = v/2 * (|x|^(2h) + |z|^(2h) - |x-z|^(2h)), Hurst index
-    h in (0,1) (KernelFunctions.jl FBMKernel).  h is stored directly and
-    updated in log space (positive); keep it < 1 for a valid kernel."""
+    h in (0,1) (KernelFunctions.jl FBMKernel).  h is stored directly; the
+    hyper step optimizes it through a logit/sigmoid reparameterization
+    (UNIT_PARAMS), so gradient updates can never push h past 1 (which
+    would make the kernel non-PSD and NaN the Cholesky)."""
+
+    UNIT_PARAMS = frozenset({"hurst"})
 
     hurst: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.5))
     variance: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(1.0))
@@ -458,33 +466,40 @@ def with_transform(kernel: Kernel, transform: Transform) -> TransformedKernel:
 
 
 # ------------------------------------------- positive/free parameter mapping
-def _map_params(node: Any, f_pos, is_free: bool = False):
+def _map_params(node: Any, f_pos, f_unit, mode: str = "pos"):
     if isinstance(node, (Kernel, Transform)):
         free = getattr(type(node), "FREE_PARAMS", frozenset())
+        unit = getattr(type(node), "UNIT_PARAMS", frozenset())
         kw = {}
         for fld in dataclasses.fields(node):
             if not fld.metadata.get("pytree_node", True):
                 continue  # static field: not a leaf, untouched
             v = getattr(node, fld.name)
-            kw[fld.name] = _map_params(v, f_pos, fld.name in free)
+            m = "free" if fld.name in free else ("unit" if fld.name in unit else "pos")
+            kw[fld.name] = _map_params(v, f_pos, f_unit, m)
         return node.replace(**kw)
     if isinstance(node, tuple):
-        return tuple(_map_params(v, f_pos, is_free) for v in node)
+        return tuple(_map_params(v, f_pos, f_unit, mode) for v in node)
     if node is None:
         return None
-    return node if is_free else f_pos(node)
+    if mode == "free":
+        return node
+    if mode == "unit":
+        return f_unit(node)
+    return f_pos(node)
 
 
 def to_unconstrained(kernel: Kernel) -> Kernel:
     """Map a kernel pytree to the space the hyperparameter optimizer works
-    in: log on positive-constrained leaves, identity on FREE_PARAMS leaves.
-    Inverse of `from_unconstrained`.  Backwards compatible with plain
-    `tree_map(log, kernel)` for kernels without free params."""
-    return _map_params(kernel, jnp.log)
+    in: log on positive-constrained leaves, logit on UNIT_PARAMS leaves
+    ((0,1)-constrained, e.g. the FBM Hurst index), identity on FREE_PARAMS
+    leaves.  Inverse of `from_unconstrained`.  Backwards compatible with
+    plain `tree_map(log, kernel)` for kernels without free/unit params."""
+    return _map_params(kernel, jnp.log, lambda h: jnp.log(h) - jnp.log1p(-h))
 
 
 def from_unconstrained(kernel: Kernel) -> Kernel:
-    return _map_params(kernel, jnp.exp)
+    return _map_params(kernel, jnp.exp, jax.nn.sigmoid)
 
 
 class SumKernel(Kernel):

@@ -313,8 +313,6 @@ def sharded_fused_svi_step(
     branch); the jitted step still takes the live model pytree.  Raises if
     the combination has no fused kernel -- fall back to sharded_svi_step.
     """
-    import os
-
     from ..config import jitter as _jitter
     from ..inference.analytic_vi import (
         _fused_scaled_inputs,
@@ -322,8 +320,6 @@ def sharded_fused_svi_step(
         _pallas_fused_spec,
         kmat_l_inv,
         pallas_override,
-        unwhiten_stats,
-        whiten_posterior,
     )
     from ..ops import pallas_kernels as pk
 
@@ -335,7 +331,6 @@ def sharded_fused_svi_step(
             "use sharded_svi_step"
         )
     kind, lik_name, _, _, c_key = spec
-    bf16 = os.environ.get("AGP_TPU_BF16") == "1"
     P_ = P(axis_name)
     draw = _local_draw(mesh.devices.size, batch_per_device, n_pad, axis_name, sampling)
 
@@ -344,18 +339,13 @@ def sharded_fused_svi_step(
         with pallas_override("on"):
             _, _, p0, p1, _ = _pallas_fused_spec(model)  # traced lik params
         xs_b, zs, ls = _fused_scaled_inputs(model, x_b)
-        # whitened inputs (L_inv, mu, Sigma are replicated, so whitening is
-        # identical on every shard; see ops/pallas_kernels.py basis notes)
-        L_inv, mu_w, Sigma_w = whiten_posterior(
-            kmat_l_inv(state.kmat)[0], state.mu[0], state.Sigma[0]
-        )
-        u1, U2, c, theta, _, _ = pk.fused_cavi_stats(
+        s1, S2, c, theta, _, _ = pk.fused_cavi_stats(
             xs_b,
             y_b,
             zs,
-            L_inv.T,
-            mu_w,
-            Sigma_w,
+            kmat_l_inv(state.kmat)[0].T,
+            state.mu[0],
+            state.Sigma[0],
             ls,
             jnp.ravel(model.kernel.variance)[0],
             _jitter(x_b.dtype),
@@ -364,18 +354,14 @@ def sharded_fused_svi_step(
             lik_p1=p1,
             kind=kind,
             lik=lik_name,
-            bf16=bf16,
         )
-        # rho is applied inside the kernel and the statistics are linear in
-        # the data axis: the psum of per-shard whitened stats IS the
-        # global-batch stat; unwhitening commutes with the psum (L_inv is
-        # replicated) and runs once after it.
-        u1 = jax.lax.psum(u1, axis_name)
-        U2 = jax.lax.psum(U2, axis_name)
-        s1, S2 = unwhiten_stats(
-            L_inv, u1.astype(x_b.dtype), U2.astype(x_b.dtype)
-        )
-        return s1[0], S2[0], c, theta
+        # rho is applied inside the kernel and the kappa-basis statistics
+        # are linear in the data axis: the psum of per-shard stats IS the
+        # global-batch stat (L_inv, mu, Sigma are replicated, so every
+        # shard contracts against the same kappa construction).
+        s1 = jax.lax.psum(s1, axis_name).astype(x_b.dtype)
+        S2 = jax.lax.psum(S2, axis_name).astype(x_b.dtype)
+        return s1, S2, c, theta
 
     stats_sharded = jax.shard_map(
         local_stats,

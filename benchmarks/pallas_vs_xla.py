@@ -36,6 +36,8 @@ def main():
     rows = []
     key = jax.random.PRNGKey(0)
 
+    HIGH = jax.lax.Precision.HIGH  # production _kappa_precision default
+
     @jax.jit
     def xla_stats(X, y, Z, Kinv, mu, Sigma, ls, var, rho):
         x = X / ls
@@ -45,7 +47,7 @@ def main():
             0.0,
         )
         knm = var * jnp.exp(-0.5 * r2)
-        kappa = knm @ Kinv
+        kappa = jnp.dot(knm, Kinv, precision=HIGH)
         ktilde = jnp.maximum(var + 1e-4 - jnp.sum(kappa * knm, 1), 1e-12)
         mf = kappa @ mu
         vf = ktilde + jnp.sum((kappa @ Sigma) * kappa, 1)
@@ -66,7 +68,7 @@ def main():
             0.0,
         )
         knm = var * jnp.exp(-0.5 * r2)
-        kappa = knm @ Kinv
+        kappa = jnp.dot(knm, Kinv, precision=HIGH)
         ktilde = jnp.maximum(var + 1e-4 - jnp.sum(kappa * knm, 1), 1e-12)
         return kappa, ktilde
 
@@ -89,23 +91,19 @@ def main():
         Kinv = Linv.T @ Linv
         mu = jax.random.normal(jax.random.fold_in(key, 4), (M,))
         Sigma = jnp.eye(M, dtype=jnp.float32)
-        mu_w = Linv @ mu
-        Sigma_w = Linv @ Sigma @ Linv.T
 
         t_x = timeit(xla_stats, X, y, Z, Kinv, mu, Sigma, ls, var, rho)
+
         def pallas_stats():
-            u1, U2, c, th, mf, vf = pk.fused_cavi_stats(
-                X, y, Z, Linv.T, mu_w, Sigma_w, ls, var, 1e-4, rho,
+            s1, S2, c, th, mf, vf = pk.fused_cavi_stats(
+                X, y, Z, Linv.T, mu, Sigma, ls, var, 1e-4, rho,
                 kind="rbf", lik="logistic",
             )
-            # unwhitening is part of the production step: include it
-            s1 = Linv.T @ u1
-            S2 = Linv.T @ U2 @ Linv
             return s1, S2, c, th
 
         t_p = timeit(pallas_stats)
         t_xk = timeit(xla_kappa, X, Z, Kinv, ls, var)
-        t_pk = timeit(lambda: pk.fused_w(X, Z, Linv.T, ls, var, 1e-4, kind="rbf"))
+        t_pk = timeit(lambda: pk.fused_kappa(X, Z, Linv.T, ls, var, 1e-4, kind="rbf"))
 
         # numerical agreement
         s1x, S2x = xla_stats(X, y, Z, Kinv, mu, Sigma, ls, var, rho)

@@ -375,6 +375,22 @@ def fused_batched_multiclass():
     return acc, "> 0.85", acc > 0.85
 
 
+@check("pallas_lowering_smoke")
+def lowering_smoke():
+    """Compile + execute every pallas_call configuration once on the chip
+    (L=3 multi-latent included -- the round-3 Mosaic BlockSpec crash class;
+    interpret mode cannot catch lowering constraints)."""
+    try:
+        from benchmarks.lowering_smoke import run as smoke_run
+    except ImportError:  # run as `python benchmarks/tpu_acceptance.py`
+        from lowering_smoke import run as smoke_run
+
+    ok, total, failures = smoke_run(verbose=False)
+    for f in failures:
+        print(f"  lowering failure: {f}")
+    return ok, f"== {total} configs", ok == total
+
+
 @check("online_hyperopt_interleaved_rmse")
 def online_hyperopt():
     """Streaming + hyperparameter optimization interleaved (atfrequency=5):
@@ -425,7 +441,7 @@ CHECKS = [gp_exact, svgp_logistic, svgp_hyperopt, multiclass, hetero, vstp,
           online, gibbs_cavi, mo, quad_vi, nuts, fused_tier, proba,
           fused_studentt, fused_laplace, fused_matern32lik, fused_svm,
           fused_poisson, fused_negbinomial, fused_batched_multiclass,
-          online_hyperopt, mo_proba]
+          lowering_smoke, online_hyperopt, mo_proba]
 
 
 def main():

@@ -16,8 +16,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# XLA compiles are slow in this environment: persist them across runs.
-_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# The persistent compile cache is DISABLED by default: with it enabled the
+# full 197-test suite segfaulted reproducibly inside XLA CPU compilation at
+# the tail of the run (cache read / backend_compile_and_load crash sites --
+# round-3 verdict Weak #4; cacheless runs are stable).  Opt back in for
+# fast local re-runs of a subset with AGP_TPU_TEST_CACHE=1.
+if os.environ.get("AGP_TPU_TEST_CACHE") == "1":
+    _cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -30,19 +30,16 @@ def setup():
                 kappa=kappa, L=L, Linv=Linv, W=W)
 
 
-def test_fused_w(setup):
+def test_fused_kappa(setup):
     s = setup
     Kt_ref = jnp.maximum(s["var"] + s["jitt"] - jnp.sum(s["W"] ** 2, 1), 1e-12)
     with pltpu.force_tpu_interpret_mode():
-        w, ktilde = pk.fused_w(
+        kappa, ktilde = pk.fused_kappa(
             s["X"], s["Z"], s["Linv"].T, s["ls"], s["var"], s["jitt"], tile_b=128
         )
-    np.testing.assert_allclose(np.asarray(w), np.asarray(s["W"]), atol=5e-5)
+    # kappa forms in-kernel as (Knm L^-T) L^-1 -- must match Knm K^-1
+    np.testing.assert_allclose(np.asarray(kappa), np.asarray(s["kappa"]), atol=2e-4)
     np.testing.assert_allclose(np.asarray(ktilde), np.asarray(Kt_ref), atol=5e-5)
-    # kappa recovers as W L^-1
-    np.testing.assert_allclose(
-        np.asarray(w @ s["Linv"]), np.asarray(s["kappa"]), atol=2e-4
-    )
 
 
 def test_cavi_stats(setup):
@@ -76,15 +73,11 @@ def test_fused_cavi_stats_padding_masked(setup):
     s1_ref = kappa.T @ (rho * s["y"] / 2)
     S2_ref = (kappa * (rho * th / 2)[:, None]).T @ kappa
     Linv = s["Linv"]
-    mu_w = Linv @ mu
-    Sigma_w = Linv @ Sigma @ Linv.T
     with pltpu.force_tpu_interpret_mode():
-        u1, U2, c_out, th_out, mf_out, vf_out = pk.fused_cavi_stats(
-            s["X"], s["y"], s["Z"], Linv.T, mu_w, Sigma_w,
+        s1, S2, c_out, th_out, mf_out, vf_out = pk.fused_cavi_stats(
+            s["X"], s["y"], s["Z"], Linv.T, mu, Sigma,
             s["ls"], s["var"], s["jitt"], rho, kind="rbf", lik="logistic", tile_b=128,
         )
-    s1 = Linv.T @ u1
-    S2 = Linv.T @ U2 @ Linv
     np.testing.assert_allclose(np.asarray(mf_out), np.asarray(mf), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(vf_out), np.asarray(vf), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s1_ref), rtol=1e-4, atol=1e-4)
@@ -209,57 +202,43 @@ def test_batched_kappa_moments_and_stats():
     mu = jax.random.normal(ks[2], (L, M))
     A = jax.random.normal(ks[3], (L, M, M))
     Sigma = jnp.einsum("lmn,lkn->lmk", A, A) / M + jnp.eye(M)[None]
-    mu_w = jnp.einsum("lmn,ln->lm", Linv, mu)
-    Sigma_w = jnp.einsum("lmn,lnk,lpk->lmp", Linv, Sigma, Linv)
 
     Knm = jax.vmap(lambda z, l, v: gram(X, z, l, v))(Z, ls, var)
     w_r = jnp.einsum("lbm,lnm->lbn", Knm, Linv)  # Knm L^-T
-    mf_r = jnp.einsum("lbm,lm->lb", w_r, mu_w)
+    kap_r = jnp.einsum("lbm,lnm,lnp->lbp", Knm, Linv, Linv)  # Knm K^-1
+    mf_r = jnp.einsum("lbm,lm->lb", kap_r, mu)
     kt_r = jnp.maximum(var[:, None] + jitt - jnp.sum(w_r**2, -1), 1e-12)
-    vf_r = kt_r + jnp.einsum("lbm,lmn,lbn->lb", w_r, Sigma_w, w_r)
+    vf_r = kt_r + jnp.einsum("lbm,lmn,lbn->lb", kap_r, Sigma, kap_r)
 
     with pltpu.force_tpu_interpret_mode():
-        w, mf, vf = pk.fused_kappa_moments_batched(
-            X, Z, jnp.swapaxes(Linv, -1, -2), ls, var, mu_w, Sigma_w, jitt,
+        kap, mf, vf = pk.fused_kappa_moments_batched(
+            X, Z, jnp.swapaxes(Linv, -1, -2), ls, var, mu, Sigma, jitt,
             kind="rbf", tile_b=128
         )
-    # W via _dot3 (3-pass bf16): ~2^-16-level differences vs the
-    # f32/f64 reference
-    np.testing.assert_allclose(np.asarray(w), np.asarray(w_r), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(mf), np.asarray(mf_r), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(vf), np.asarray(vf_r), atol=2e-3)
+    # kappa via two _dot3 products (3-pass bf16): ~2^-16-level differences
+    # vs the f32/f64 reference
+    np.testing.assert_allclose(np.asarray(kap), np.asarray(kap_r), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(mf), np.asarray(mf_r), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vf_r), atol=3e-3)
 
     g = jax.random.normal(ks[4], (L, B))
     th = jax.random.uniform(ks[5], (L, B))
     with pltpu.force_tpu_interpret_mode():
-        u1, U2 = pk.cavi_stats_batched(w_r, g, th, tile_b=128)
-    np.testing.assert_allclose(
-        np.asarray(u1), np.asarray(jnp.einsum("lbm,lb->lm", w_r, g)),
-        rtol=1e-4, atol=1e-4,
-    )
-    np.testing.assert_allclose(
-        np.asarray(U2),
-        np.asarray(jnp.einsum("lbm,lb,lbn->lmn", w_r, th, w_r)),
-        rtol=1e-3, atol=1e-4,
-    )
-    # whitened statistics unmap to the kappa-basis references
-    kap_r = jnp.einsum("lbm,lnm,lnp->lbp", Knm, Linv, Linv)  # Knm K^-1
-    s1 = jnp.einsum("lnm,ln->lm", Linv, u1)
-    S2 = jnp.einsum("lnm,lnk,lkp->lmp", Linv, U2, Linv)
+        s1, S2 = pk.cavi_stats_batched(kap_r, g, th, tile_b=128)
     np.testing.assert_allclose(
         np.asarray(s1), np.asarray(jnp.einsum("lbm,lb->lm", kap_r, g)),
-        rtol=1e-3, atol=1e-3,
+        rtol=1e-4, atol=1e-4,
     )
     np.testing.assert_allclose(
         np.asarray(S2),
         np.asarray(jnp.einsum("lbm,lb,lbn->lmn", kap_r, th, kap_r)),
-        rtol=1e-2, atol=1e-3,
+        rtol=1e-3, atol=1e-4,
     )
 
     # hyperparameter gradients flow through the XLA-twin VJP
     def loss(lsx):
         _, mfx, vfx = pk.fused_kappa_moments_batched(
-            X, Z, jnp.swapaxes(Linv, -1, -2), lsx, var, mu_w, Sigma_w, jitt,
+            X, Z, jnp.swapaxes(Linv, -1, -2), lsx, var, mu, Sigma, jitt,
             kind="rbf", tile_b=128
         )
         return jnp.sum(mfx**2) + jnp.sum(vfx)
@@ -267,9 +246,10 @@ def test_batched_kappa_moments_and_stats():
     def loss_ref(lsx):
         knm = jax.vmap(lambda z, l, v: gram(X, z, l, v))(Z, lsx, var)
         wx = jnp.einsum("lbm,lnm->lbn", knm, Linv)
-        mfx = jnp.einsum("lbm,lm->lb", wx, mu_w)
+        kx = jnp.einsum("lbm,lmn->lbn", wx, Linv)
+        mfx = jnp.einsum("lbm,lm->lb", kx, mu)
         ktx = jnp.maximum(var[:, None] + jitt - jnp.sum(wx**2, -1), 1e-12)
-        vfx = ktx + jnp.einsum("lbm,lmn,lbn->lb", wx, Sigma_w, wx)
+        vfx = ktx + jnp.einsum("lbm,lmn,lbn->lb", kx, Sigma, kx)
         return jnp.sum(mfx**2) + jnp.sum(vfx)
 
     with pltpu.force_tpu_interpret_mode():
@@ -305,46 +285,47 @@ def test_batched_kappa_moments_ard():
     mu = jax.random.normal(ks[3], (L, M))
     A = jax.random.normal(ks[4], (L, M, M))
     Sigma = jnp.einsum("lmn,lkn->lmk", A, A) / M + jnp.eye(M)[None]
-    mu_w = jnp.einsum("lmn,ln->lm", Linv, mu)
-    Sigma_w = jnp.einsum("lmn,lnk,lpk->lmp", Linv, Sigma, Linv)
 
     Knm = jax.vmap(lambda z, l, v: gram(X, z, l, v))(Z, ls, var)
     w_r = jnp.einsum("lbm,lnm->lbn", Knm, Linv)
-    mf_r = jnp.einsum("lbm,lm->lb", w_r, mu_w)
+    kap_r = jnp.einsum("lbm,lnm,lnp->lbp", Knm, Linv, Linv)
+    mf_r = jnp.einsum("lbm,lm->lb", kap_r, mu)
     kt_r = jnp.maximum(var[:, None] + jitt - jnp.sum(w_r**2, -1), 1e-12)
-    vf_r = kt_r + jnp.einsum("lbm,lmn,lbn->lb", w_r, Sigma_w, w_r)
+    vf_r = kt_r + jnp.einsum("lbm,lmn,lbn->lb", kap_r, Sigma, kap_r)
 
     with pltpu.force_tpu_interpret_mode():
-        w, mf, vf = pk.fused_kappa_moments_batched(
-            X, Z, LinvT, ls, var, mu_w, Sigma_w, jitt, kind="rbf", tile_b=128
+        kap, mf, vf = pk.fused_kappa_moments_batched(
+            X, Z, LinvT, ls, var, mu, Sigma, jitt, kind="rbf", tile_b=128
         )
-    np.testing.assert_allclose(np.asarray(w), np.asarray(w_r), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(mf), np.asarray(mf_r), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(vf), np.asarray(vf_r), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(kap), np.asarray(kap_r), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(mf), np.asarray(mf_r), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vf_r), atol=3e-3)
 
     # hyper-gradients wrt the [L, D] ARD leaves flow through the twin VJP
     def loss(lsx):
         _, mfx, vfx = pk.fused_kappa_moments_batched(
-            X, Z, LinvT, lsx, var, mu_w, Sigma_w, jitt, kind="rbf", tile_b=128
+            X, Z, LinvT, lsx, var, mu, Sigma, jitt, kind="rbf", tile_b=128
         )
         return jnp.sum(mfx**2) + jnp.sum(vfx)
 
     def loss_ref(lsx):
         knm = jax.vmap(lambda z, l, v: gram(X, z, l, v))(Z, lsx, var)
         wx = jnp.einsum("lbm,lnm->lbn", knm, Linv)
-        mfx = jnp.einsum("lbm,lm->lb", wx, mu_w)
+        kx = jnp.einsum("lbm,lmn->lbn", wx, Linv)
+        mfx = jnp.einsum("lbm,lm->lb", kx, mu)
         ktx = jnp.maximum(var[:, None] + jitt - jnp.sum(wx**2, -1), 1e-12)
-        vfx = ktx + jnp.einsum("lbm,lmn,lbn->lb", wx, Sigma_w, wx)
+        vfx = ktx + jnp.einsum("lbm,lmn,lbn->lb", kx, Sigma, kx)
         return jnp.sum(mfx**2) + jnp.sum(vfx)
 
     with pltpu.force_tpu_interpret_mode():
         g_p = jax.block_until_ready(jax.jit(jax.grad(loss))(ls))
     # f32 3-pass twin vs f64 einsum reference; the sum-of-squares loss
-    # amplifies split-precision differences -- the sharp ARD-gradient oracle
-    # is test_fused_production_step_ard_matches_xla (same math both arms)
-    np.testing.assert_allclose(
-        np.asarray(g_p), np.asarray(jax.grad(loss_ref)(ls)), rtol=8e-2, atol=1e-3
-    )
+    # amplifies split-precision differences on the SMALL gradient entries,
+    # so compare at the gradient's scale (the pallas grad matches its own
+    # twin exactly) -- the sharp ARD-gradient oracle is
+    # test_fused_production_step_ard_matches_xla (same math both arms)
+    g_r = np.asarray(jax.grad(loss_ref)(ls))
+    assert np.max(np.abs(np.asarray(g_p) - g_r)) < 2e-2 * np.max(np.abs(g_r))
 
 
 def test_multiclass_production_step_fused_matches_xla(monkeypatch):
