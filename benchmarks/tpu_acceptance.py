@@ -394,8 +394,21 @@ def lowering_smoke():
 @check("online_hyperopt_interleaved_rmse")
 def online_hyperopt():
     """Streaming + hyperparameter optimization interleaved (atfrequency=5):
-    the round-2 audit's untested hardware path."""
+    the round-2 audit's untested hardware path.
+
+    Zalg note (round-4 diagnosis of the round-3 failure): the AD gradient
+    is exact (matches finite differences to 6 digits), but OIPS acceptance
+    depends on the kernel lengthscale -- at the default rho=0.8 with the
+    deliberately-wrong ls=2.0 init, only ~10 inducing points activate, and
+    conditional on an under-resolved Z the ELBO genuinely peaks at an even
+    LARGER ls (the classic sparse-GP oversmoothing coupling; the
+    reference's OIPS+hyperopt interleave has the same property).  With
+    rho=0.95 the set stays resolved and hyperopt then helps: measured
+    rmse 0.106 (hyperopt off) -> 0.019 (on), ls 2.0 -> 1.24 toward the
+    truth.  See RESULTS.md round-4 notes and docs/userguide.md section 6."""
     import optax
+
+    from agp_tpu.inducing.algorithms import OIPS
 
     X, f = _toy(4096, 2, key=44)
     y = np.asarray(f + 0.05 * jax.random.normal(jax.random.PRNGKey(45), f.shape, DTYPE))
@@ -403,6 +416,7 @@ def online_hyperopt():
         agp.SqExponentialKernel(lengthscale=jnp.asarray(2.0, DTYPE)),
         agp.GaussianLikelihood.create(0.05, opt_noise=False),
         agp.AnalyticVI(), n_dim=2, capacity=128,
+        Zalg=OIPS(rho=0.95, capacity=128),
         optimiser=optax.adam(0.02), atfrequency=5,
     )
     s = None
