@@ -77,10 +77,26 @@ def _draw_batch(model, state, X, y, step):
     its hyper update, training/training.jl:60-70)."""
     sub = jax.random.fold_in(state.key, step)
     b = model.inference.batchsize
-    if getattr(model.inference, "minibatch_sampling", "gather") == "slice":
+    mode = getattr(model.inference, "minibatch_sampling", "gather")
+    if mode == "slice":
         start = jax.random.randint(sub, (), 0, X.shape[0] - b + 1)
         x_b = jax.lax.dynamic_slice_in_dim(X, start, b, axis=0)
         y_b = jax.lax.dynamic_slice_in_dim(y, start, b, axis=0)
+        return x_b, y_b
+    if mode == "block" and b % 8 == 0 and X.shape[0] >= 8:
+        # gather of b/8 random ALIGNED 8-row tiles: the same bytes as the
+        # iid gather in 8x fewer, 8x larger HBM transactions (TPU row
+        # gathers are transaction-bound).  Statistically a block bootstrap:
+        # with pre-shuffled rows the tiles are iid draws of 8 exchangeable
+        # rows -- same estimator variance class as the iid gather.
+        n_tiles, tile = X.shape[0] // 8, 8
+        tidx = jax.random.randint(sub, (b // tile,), 0, n_tiles)
+        x_b = jnp.take(
+            X[: n_tiles * tile].reshape(n_tiles, tile, X.shape[1]), tidx, axis=0
+        ).reshape(b, X.shape[1])
+        y_b = jnp.take(
+            y[: n_tiles * tile].reshape(n_tiles, tile), tidx, axis=0
+        ).reshape(b)
         return x_b, y_b
     # (Measured: pre-sorting the iid indices for gather locality LOSES ~5%
     # on v5e at B=4096 -- the sort costs more than the gather saves.)

@@ -222,6 +222,23 @@ def test_svgp_slice_sampling_converges():
     assert err < 0.35
 
 
+def test_svgp_block_sampling_converges():
+    """block minibatching (random aligned 8-row tiles -- larger HBM
+    transactions than iid gather, same estimator class) reaches the same
+    quality as gather/slice sampling."""
+    kern = agp.SqExponentialKernel()
+    X, f = generate_f(200, 2, kern)
+    y = np.asarray(f > 0, dtype=float) * 2 - 1
+    lik = agp.LogisticLikelihood.create()
+    model = agp.SVGP.create(
+        kern, lik, agp.AnalyticSVI(32, minibatch_sampling="block"), X[:20],
+        optimiser=None,
+    )
+    model, state = agp.train(model, X, y, iterations=100)
+    err = float(jnp.mean(agp.predict_y(model, state, X) != jnp.asarray(y)))
+    assert err < 0.35
+
+
 def test_sample_f_joint_predictive():
     kern = agp.SqExponentialKernel()
     X, f = generate_f(30, 2, kern)
