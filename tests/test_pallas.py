@@ -376,6 +376,44 @@ def test_multiclass_production_step_fused_matches_xla(monkeypatch):
     )
 
 
+def test_numerical_vi_fused_moments_match_xla(monkeypatch):
+    """Sparse QuadratureVI with the fused tier forced on must match the XLA
+    path: the round-3 advisor finding was that latent_moments' third output
+    became the whitened W under the Pallas gates while numerical_vi's d1/d2
+    contractions assumed kappa.  Since round 4 the tier is basis-transparent
+    (kernels return kappa), so this must agree."""
+    import agp_tpu as agp
+    from agp_tpu.inference.numerical_vi import variational_update as nvu
+    from agp_tpu.training.train import init_state
+
+    B, D, M = 200, 4, 32
+    X = jax.random.normal(jax.random.PRNGKey(0), (B, D), dtype=jnp.float64)
+    y = np.asarray(jnp.sign(jnp.sin(X[:, 0]) + 0.1))
+    model = agp.SVGP.create(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(1.3)),
+        agp.LogisticLikelihood.create(),
+        agp.QuadratureVI(n_points=20),
+        Z=X[:M],
+        optimiser=None,
+    )
+    y2, lik2 = model.likelihood.treat_labels(y)
+    model = model.replace(likelihood=lik2)
+    y2 = jnp.asarray(y2, X.dtype)
+    state0 = init_state(model, X, y2)
+
+    m_x, s_x = nvu(model, state0, X, y2)
+
+    monkeypatch.setenv("AGP_TPU_PALLAS", "1")
+    vu = jax.jit(nvu)
+    with pltpu.force_tpu_interpret_mode():
+        m_p, s_p = jax.block_until_ready(vu(model, state0, X, y2))
+
+    np.testing.assert_allclose(np.asarray(s_p.mu), np.asarray(s_x.mu), rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s_p.Sigma), np.asarray(s_x.Sigma), rtol=1e-2, atol=1e-4
+    )
+
+
 def test_hyper_gradients_through_fused_kappa(monkeypatch):
     """The hyperparameter step differentiates the ELBO through
     latent_moments -> fused_kappa; `pallas_call` itself has no AD rule, so
