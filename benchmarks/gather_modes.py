@@ -18,6 +18,12 @@ step cost.  Writes GATHER_MODES.json.
 """
 from __future__ import annotations
 
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
+)
 import json
 import time
 

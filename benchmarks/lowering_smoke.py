@@ -14,6 +14,12 @@ sweep's `pallas_lowering_smoke` check.
 """
 from __future__ import annotations
 
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
+)
 import jax
 import jax.numpy as jnp
 

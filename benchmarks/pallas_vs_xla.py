@@ -11,6 +11,12 @@ Writes PALLAS_BENCH.json.  Run on the real chip:  python benchmarks/pallas_vs_xl
 """
 from __future__ import annotations
 
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
+)
 import json
 import time
 

@@ -13,6 +13,12 @@ Run: python benchmarks/tpu_acceptance.py          (~3-5 min warm cache)
 """
 from __future__ import annotations
 
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
+)
 import json
 import sys
 import traceback
