@@ -56,6 +56,30 @@ def test_kernel_psd_and_diag(kern):
     np.testing.assert_allclose(np.diag(G), np.asarray(kern.diag(X)), atol=1e-10)
 
 
+def test_fbm_hurst_unit_constrained():
+    """FBM's Hurst index lives in (0,1): the unconstrained mapping is
+    logit/sigmoid (UNIT_PARAMS), so arbitrarily large optimizer steps can
+    never push h past 1 (which would make the kernel non-PSD)."""
+    from agp_tpu.kernels import from_unconstrained, to_unconstrained
+
+    k = agp.FBMKernel(hurst=jnp.asarray(0.4))
+    u = to_unconstrained(k)
+    # round trip
+    k2 = from_unconstrained(u)
+    np.testing.assert_allclose(float(k2.hurst), 0.4, rtol=1e-12)
+    np.testing.assert_allclose(float(k2.variance), 1.0, rtol=1e-12)
+    # a huge positive step in unconstrained space saturates at h = 1 (the
+    # PSD boundary: FBM at h=1 degenerates to the linear kernel) instead of
+    # shooting past it as the old log-space mapping did
+    u_big = u.replace(hurst=u.hurst + 50.0)
+    k3 = from_unconstrained(u_big)
+    assert 0.0 < float(k3.hurst) <= 1.0
+    # gram is still PSD at the saturated value
+    X = jax.random.normal(jax.random.PRNGKey(0), (12, 2), dtype=jnp.float64)
+    evals = np.linalg.eigvalsh(np.asarray(k3.gram(X, X)))
+    assert np.isfinite(evals).all() and evals.min() > -1e-7
+
+
 def test_kernel_ard_lengthscale():
     k = agp.SqExponentialKernel(lengthscale=jnp.asarray([0.5, 2.0]))
     X = jax.random.normal(jax.random.PRNGKey(1), (10, 2), dtype=jnp.float64)
