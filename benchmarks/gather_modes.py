@@ -31,14 +31,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    """Host readback: on the axon remote backend jax.block_until_ready does
+    NOT synchronize execution (RESULTS.md, round-2 measurement-discipline
+    fix); reading one scalar back to the host does."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def timeit(fn, iters=5, warmup=2):
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -24,14 +24,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    """Host readback: on the axon remote backend jax.block_until_ready does
+    NOT synchronize execution (RESULTS.md, round-2 measurement-discipline
+    fix); reading one scalar back to the host does."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def timeit(fn, *args, iters=30, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -78,7 +86,10 @@ def main():
         ktilde = jnp.maximum(var + 1e-4 - jnp.sum(kappa * knm, 1), 1e-12)
         return kappa, ktilde
 
-    for B, M in [(4096, 64), (65536, 64), (65536, 256), (65536, 512), (262144, 128)]:
+    # includes the auto-gate break-even shapes quoted in
+    # inference/analytic_vi.py::_pallas_kind/_pallas_kind_batched
+    for B, M in [(4096, 64), (8192, 256), (8192, 512), (32768, 256),
+                 (65536, 64), (65536, 256), (65536, 512), (262144, 128)]:
         D = 8
         X = jax.random.normal(key, (B, D), jnp.float32)
         y = jnp.where(jax.random.normal(jax.random.fold_in(key, 1), (B,)) > 0, 1.0, -1.0)
