@@ -45,10 +45,10 @@ def compute_kmat(model, X) -> Dict[str, jnp.ndarray]:
     (reference: gpblocks/latentgp.jl:201-207).
 
     L_inv (the triangular inverse of the Cholesky factor) backs the fused
-    Pallas tier: kappa forms in-kernel as (Knm L^-T) L^-1 -- two factors
-    that each cancel only by sqrt(cond(Kmm)), where the direct Knm K^-1
-    product cancels by cond(Kmm) and corrupted theta-dependent likelihoods
-    on hardware (see ops/pallas_kernels.py module docstring)."""
+    Pallas tier, which rebuilds K^-1 = L^-T L^-1 at HIGHEST and forms
+    kappa = Knm K^-1 in-kernel at 3-pass -- the XLA production path's own
+    algorithm and precision (see ops/pallas_kernels.py module docstring
+    for the round-2/3/4 precision-architecture history)."""
     if model.is_sparse:
         K = batch_gram_zz(model.kernel, model.Z)
     else:
@@ -121,7 +121,14 @@ _PALLAS_OVERRIDE: list[str | None] = [None]
 @contextlib.contextmanager
 def pallas_override(mode: str | None):
     """Force the fused-tier gate within a trace: "on", "off", or None (auto).
-    Takes precedence over the AGP_TPU_PALLAS env var."""
+    Takes precedence over the AGP_TPU_PALLAS env var.
+
+    TRACE-time state, NOT part of any jit cache key: a function already
+    compiled under one mode will NOT retrace when called again under
+    another (in-package uses wrap the override around the traced body
+    itself, which is safe).  For an A/B of the same jitted function in one
+    process, call `jax.clear_caches()` between modes (benchmarks/gate_ab.py)
+    or use separate processes with AGP_TPU_PALLAS."""
     _PALLAS_OVERRIDE.append(mode)
     try:
         yield
@@ -167,15 +174,38 @@ def _pallas_kind(model):
     latent_moments consumer -- including NumericalVI's d1/d2 contractions
     (the round-3 advisor finding) -- reads the third output safely.
 
-    Shape policy (v5e end-to-end sweeps with the Newton-Schulz moments
-    conversion in place, RESULTS.md): XLA wins up through M=256 (1.14-1.6x);
-    the fused one-HBM-pass kernels win 1.6x at M=512/B=65536.  Auto: on for
-    M >= 512."""
+    Shape policy (round-4 direct-kappa kernels, measured end-to-end on v5e
+    with host-readback timing -- GATE_AB.json, benchmarks/gate_ab.py):
+    the fused step wins 1.17x (logistic) / 1.31x (studentt) at
+    M=512/B=65536, is a wash (0.99x) at M=512/B=32768 and loses at
+    M=512/B=8192 (0.95x) and M=256/B=32768 (0.81x).  Auto: on for
+    M >= 512 AND per-step batch > 32768 (full-batch sparse AnalyticVI,
+    batchsize None, gates on M alone -- its per-step B is N, beyond the
+    measured win region)."""
     if not _pallas_enabled(model) or model.n_latent != 1:
         return None
-    if _pallas_forced() != "on" and getattr(model, "n_inducing", 0) < 512:
-        return None
+    if _pallas_forced() != "on":
+        if getattr(model, "n_inducing", 0) < 512:
+            return None
+        bs = getattr(model.inference, "batchsize", None)
+        if bs is not None and bs <= 32768:
+            return None
     return _PALLAS_KINDS.get(type(model.kernel).__name__)
+
+
+def _pallas_kind_kappa_only(model):
+    """Gate for the kappa-ONLY kernel uses (latent_moments' fused_kappa and
+    apply_natural_gradient's cavi_stats when the fully-fused spec did not
+    apply, e.g. NumericalVI or an @augmodel likelihood).  These save no HBM
+    round trip -- kappa is immediately re-read XLA-side -- and measured a
+    LOSS at every shape on v5e (PALLAS_BENCH.json kappa columns), so they
+    are never auto-enabled: forced-on only (AGP_TPU_PALLAS=1 /
+    pallas_override("on")).  The fully-fused statistics path
+    (_pallas_fused_spec) and the batched moments+stats pair keep their
+    measured auto gates."""
+    if _pallas_forced() != "on":
+        return None
+    return _pallas_kind(model)
 
 
 def _fused_scaled_inputs(model, x):
@@ -197,18 +227,20 @@ def _pallas_kind_batched(model):
     grid dimension (ops/pallas_kernels.py::fused_kappa_moments_batched /
     cavi_stats_batched).
 
-    Measured v5e win region (K=10 logistic-softmax, RESULTS.md; re-confirmed
-    with the Newton-Schulz moments conversion in place): 1.30x at
-    M=512/B=8192, 1.36-1.42x at M=256/B=32768, a wash (0.97x) at
-    M=256/B=8192 -- so in auto mode the batched tier requires M >= 512 or a
-    large batch."""
+    Measured v5e win region (round-4 direct-kappa kernels, host-readback
+    production A/B -- GATE_AB.json): K=3 logistic-softmax 1.28x at
+    M=512/B=32768, 0.95x at M=512/B=8192.  Auto: on for M >= 512 AND
+    per-step batch >= 16384 (full-batch AnalyticVI, batchsize None, gates
+    on M alone)."""
     if not _pallas_enabled(model) or model.n_latent <= 1:
         return None
     if not model.is_sparse or getattr(model, "is_online", False):
         return None
     if _pallas_forced() != "on":
+        if getattr(model, "n_inducing", 0) < 512:
+            return None
         bs = getattr(model.inference, "batchsize", None)
-        if getattr(model, "n_inducing", 0) < 512 and (bs is not None and bs < 16384):
+        if bs is not None and bs < 16384:
             return None
     # [L, D] ARD lengthscales fold into the coordinates in-kernel (the
     # batched kernel takes ls as a per-latent [L, D] VMEM input)
@@ -296,7 +328,7 @@ def latent_moments(model, state: TrainState, x, kmat):
 
             _, kappa, Ktilde = masked_kappa(model, x, kmat)
         elif model.n_latent == 1:
-            kind = _pallas_kind(model)
+            kind = _pallas_kind_kappa_only(model)
             if kind is not None:
                 from ..ops import pallas_kernels as pk
 
@@ -464,7 +496,11 @@ def apply_natural_gradient(model, state: TrainState, kappa, gmu, gs, x) -> Train
     the XLA einsums only in their one-HBM-pass accumulation."""
     if model.is_sparse:
         rho = state.rho
-        kind = _pallas_kind(model) if not getattr(model, "is_online", False) else None
+        kind = (
+            _pallas_kind_kappa_only(model)
+            if not getattr(model, "is_online", False)
+            else None
+        )
         if kind is not None:
             from ..ops import pallas_kernels as pk
 

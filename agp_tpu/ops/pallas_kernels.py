@@ -5,10 +5,10 @@ TPU kernels.  The fusions cover the per-iteration data path of a sparse
 CAVI step (analytic_vi.py):
 
 1. `fused_kappa`: X[B,D], Z[M,D], L^-T[M,M] -> kappa[B,M], Ktilde[B]
-   computes the Knm gram tile, the whitened features W = Knm L^-T, the
-   Ktilde diagonal correction AND kappa = W L^-1 in one VMEM-resident pass
-   per B-tile -- Knm and W never round-trip to HBM (the XLA path
-   materializes Knm between the gram and the solve).
+   computes the Knm gram tile, kappa = Knm K^-1 and the Ktilde diagonal
+   correction in one VMEM-resident pass per B-tile -- Knm never
+   round-trips to HBM (the XLA path materializes it between the gram and
+   the solve).
 2. `cavi_stats`: kappa[B,M], g[B], theta[B] -> s1[M], S2[M,M]
    the two cross-data reductions of the natural gradient, accumulated
    tile-by-tile in a VMEM scratch accumulator.
@@ -28,25 +28,32 @@ throughout):
   ~7e2 at cond 1.5e5), and Mosaic's DEFAULT f32 dot is 1-pass bf16
   (2.3e-3 max rel error, measured on chip), so S2 came out garbage and
   six theta-dependent likelihoods were silently wrong on hardware.
-* Round 4: form kappa IN-KERNEL through the whitened intermediate,
-      W = Knm L^-T   (3-pass; cancels by ~sqrt(cond))
-      kappa = W L^-1 (3-pass; cancels by ~sqrt(cond))
-  -- each factor only meets a sqrt(cond) cancellation, so the 3-pass
-  split product (4.5e-6) stays accurate where the XLA path's single
-  Knm K^-1 product (HIGH, 1/cond cancellation) carries O(1e-1) worst-row
-  error at cond 1e5 (measured).  All statistics are then computed in the
-  kappa basis, whose downstream consumers (natural-gradient update) are
-  well-conditioned: NO unwhitening, NO amplification.  The variance and
-  statistic contractions run at Mosaic DEFAULT (1-pass bf16) -- exactly
-  the precision of their XLA-twin einsums, which the on-chip acceptance
-  sweep proves out.  Per-dot policy:
-      gram cross-term x z^T        HIGHEST  (r2 = xx+zz-2xz cancels; D tiny)
-      W = Knm L^-T                 _dot3    (sqrt(cond) cancellation)
-      kappa = W L^-1               _dot3    (sqrt(cond) cancellation)
-      mf = kappa mu                _dot3    (matvec, free)
-      kS = kappa Sigma             DEFAULT  (XLA twin runs DEFAULT)
-      S2 = kappa^T diag(g) kappa   DEFAULT  (XLA twin runs DEFAULT)
-      s1 = kappa^T g               exact    (VPU f32 elementwise+sum)
+* Round 4a formed kappa through the whitened intermediate
+  (W = Knm L^-T then kappa = W L^-1, both 3-pass): correct on hardware
+  (each factor cancels only by sqrt(cond)) but SLOWER than XLA at every
+  shape once timed honestly (PALLAS_BENCH.json, host-readback timing:
+  0.57-0.94x) -- the second [B,M]@[M,M] 3-pass dot and the 6-pass gram
+  gave the tier 8 MXU-pass-equivalents where XLA's chain pays 5.
+* Round 4b (current): kappa = Knm K^-1 DIRECTLY at 3-pass
+  (`_dot3` == XLA `Precision.HIGH`, the production path's own algorithm
+  and precision, bit-comparable error) with K^-1 = L^-T L^-1 formed
+  XLA-side at HIGHEST.  The direct product cancels by cond(Kmm), not
+  sqrt(cond) -- exactly like the XLA production path, whose downstream
+  (kappa-basis statistics, natural-gradient update) is error-tolerant
+  and proven end-to-end by the on-chip acceptance sweep (23/23,
+  TPU_ACCEPTANCE.json; the round-2 failure was this product at DEFAULT
+  1-pass, a 500x coarser algorithm).  FUSED_VARIANTS.json holds the
+  measured on-chip design sweep that picked this form.  Per-dot policy:
+      gram cross-term x z^T        _dot3   (r2 = xx+zz-2xz cancels; 4.5e-6
+                                            per-op puts ~1e-5 abs error on
+                                            r2 -- negligible; DEFAULT's
+                                            2.3e-3 was the round-3 failure)
+      kappa = Knm K^-1             _dot3   (== XLA HIGH, the proven bar)
+      Ktilde = var - sum kappa*Knm exact   (VPU f32, the XLA formula)
+      mf = kappa mu                DEFAULT (matvec; XLA twin runs DEFAULT)
+      kS = kappa Sigma             DEFAULT (XLA twin runs DEFAULT)
+      S2 = kappa^T diag(g) kappa   DEFAULT (XLA twin runs DEFAULT)
+      s1 = kappa^T g               exact   (VPU f32 elementwise+sum)
 
 All kernels are grid-over-B with the M axis resident in VMEM (M <= 512),
 MXU matmuls with float32 accumulation.  `available()` gates usage: the XLA
@@ -104,23 +111,6 @@ def _dot3(a, b, dims=(((1,), (0,)), ((), ()))):
     return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
 
 
-def _dot3_t(a, b):
-    """3-pass a @ b.T (contract both dim 1) -- used for kappa = W L^-1 with
-    b = L^-T, avoiding an explicit in-kernel transpose."""
-    return _dot3(a, b, dims=(((1,), (1,)), ((), ())))
-
-
-def _dot6(a, b):
-    """f32-exact MXU matmul (Mosaic HIGHEST, 6-pass; 2.2e-7 max rel error
-    measured on chip).  Reserved for the gram cross-term, whose xx+zz-2xz
-    combination cancels catastrophically and whose D-axis contraction is
-    tiny."""
-    return jnp.dot(
-        a, b, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-
-
 def _dot1(a, b):
     """Mosaic DEFAULT f32 dot: 1-pass bf16 operands, f32 accumulation
     (2.3e-3 max rel error measured on chip) -- full MXU rate.  Used only
@@ -130,6 +120,27 @@ def _dot1(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _dot1_g0(a, b):
+    """DEFAULT-precision a^T b without an explicit in-kernel transpose:
+    dot_general contracting dim 0 of BOTH operands.  The explicit `.T`
+    forces a VPU relayout of the [TB, M] tile before the MXU; letting
+    Mosaic fuse the contraction measured up to 20% faster at M=128
+    (FUSED_VARIANTS.json, v2_direct_nt vs v1_direct_t)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _kinv(L_invT):
+    """Kmm^-1 = L^-T L^-1 from the stored triangular inverse, at HIGHEST
+    (XLA-side, O(M^3) once per call -- microseconds next to the B-loop).
+    Batched over a leading latent axis when present."""
+    return jnp.einsum(
+        "...ij,...kj->...ik", L_invT, L_invT,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 # ----------------------------------------------------------- fused kappa tile
 def _gram(x, z, var, kind):
     """Stationary gram block k(x, z) [B, M]; the single source of truth for
@@ -137,10 +148,13 @@ def _gram(x, z, var, kind):
     (AD backward path)."""
     xx = jnp.sum(x * x, axis=1, keepdims=True)
     zz = jnp.sum(z * z, axis=1, keepdims=True).T
-    # HIGHEST: xx + zz - 2 xz cancels catastrophically; Mosaic's DEFAULT
-    # f32 dot is 1-pass bf16 and corrupts ill-conditioned grams (round-3
-    # failure mode).  The D-axis contraction is tiny, so 6-pass is free.
-    r2 = jnp.maximum(xx + zz - 2.0 * _dot6(x, z.T), 0.0)
+    # 3-pass: xx + zz - 2 xz cancels catastrophically, so Mosaic's DEFAULT
+    # f32 dot (1-pass bf16, 2.3e-3) corrupts ill-conditioned grams (the
+    # round-3 failure mode); _dot3's 4.5e-6 per-op error leaves ~1e-5 abs
+    # error on r2.  The D-axis contraction pads to the MXU's K=128, so the
+    # gram dot costs ~B*M*128 per pass regardless of D -- at 6-pass it was
+    # ~25% of the whole fused kernel's MXU work (FUSED_VARIANTS.json).
+    r2 = jnp.maximum(xx + zz - 2.0 * _dot3(x, z.T), 0.0)
     if kind == "rbf":
         return var * jnp.exp(-0.5 * r2)
     if kind == "matern32":
@@ -155,25 +169,27 @@ def _gram(x, z, var, kind):
     raise ValueError(kind)
 
 
-def _kappa_tile(x, z, linvt, var, jitt, kind):
-    """Shared tile math: gram -> W -> (kappa, Ktilde).  linvt is
-    (chol(Kmm)^-1)^T.  See the module docstring for the precision policy."""
+def _kappa_tile(x, z, kinv, var, jitt, kind):
+    """Shared tile math: gram -> kappa -> Ktilde (direct form).  kinv is
+    Kmm^-1 = L^-T L^-1, formed XLA-side at HIGHEST by the impl wrappers.
+    See the module docstring for the precision policy and the measured
+    design sweep (FUSED_VARIANTS.json) that picked the direct product over
+    the round-4a two-factor whitened form."""
     knm = _gram(x, z, var, kind)
-    w = _dot3(knm, linvt)
-    # Ktilde = var + jitt - |W|^2_row (exact: diag(Knm K^-1 Knm^T) = |W|^2)
+    kappa = _dot3(knm, kinv)  # == XLA Precision.HIGH, the production bar
+    # Ktilde = var + jitt - diag(Qnn), the XLA production formula
     ktilde = jnp.maximum(
-        var + jitt - jnp.sum(w * w, axis=1, keepdims=True), 1e-12
+        var + jitt - jnp.sum(kappa * knm, axis=1, keepdims=True), 1e-12
     )
-    kappa = _dot3_t(w, linvt)  # W L^-1 (linvt.T = L^-1)
     return kappa, ktilde
 
 
-def _kappa_kernel(x_ref, z_ref, linvt_ref, params_ref, kappa_ref, ktilde_ref, *, kind):
-    # x: [TB, D], z: [M, D], linvt: [M, M] upper = (chol(Kmm)^-1)^T,
+def _kappa_kernel(x_ref, z_ref, kinv_ref, params_ref, kappa_ref, ktilde_ref, *, kind):
+    # x: [TB, D], z: [M, D], kinv: [M, M] = Kmm^-1,
     # params: [3] (lengthscale scalar, variance, jitter) in SMEM
     ls = params_ref[0]
     kappa, ktilde = _kappa_tile(
-        x_ref[:] / ls, z_ref[:] / ls, linvt_ref[:], params_ref[1], params_ref[2], kind
+        x_ref[:] / ls, z_ref[:] / ls, kinv_ref[:], params_ref[1], params_ref[2], kind
     )
     kappa_ref[:] = kappa
     # kept [TB, 1] -- 1-D operands hit XLA/Mosaic layout mismatches on TPU
@@ -186,22 +202,22 @@ def _kappa_xla_twin(X, Z, L_invT, lengthscale, variance, jitt, kind):
     AD, but the hyperparameter step differentiates the ELBO through
     latent_moments -> fused_kappa (training/autotuning.py), so the custom
     VJP recomputes this twin's linearization in the backward pass."""
+    kinv = _kinv(L_invT)
     knm = _gram(X / lengthscale, Z / lengthscale, variance, kind)
-    w = _dot3(knm, L_invT)
-    ktilde = jnp.maximum(variance + jitt - jnp.sum(w * w, axis=1), 1e-12)
-    kappa = _dot3_t(w, L_invT)
+    kappa = _dot3(knm, kinv)
+    ktilde = jnp.maximum(variance + jitt - jnp.sum(kappa * knm, axis=1), 1e-12)
     return kappa, ktilde
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def fused_kappa(X, Z, L_invT, lengthscale, variance, jitt, kind="rbf", tile_b=512):
     """Single-latent fused (kappa = Knm Kmm^-1 [B, M], Ktilde [B]).
-    X [B, D], Z [M, D], L_invT [M, M].  kappa is formed through the
-    whitened intermediate W = Knm L^-T (rows bounded by sqrt(var):
-    sum_m W^2 = var - Ktilde), so each 3-pass split product only meets a
-    sqrt(cond(Kmm)) cancellation -- strictly more accurate than the direct
-    Knm K^-1 product at any fixed precision.  Differentiable: backward
-    runs through the XLA twin (`_kappa_xla_twin`)."""
+    X [B, D], Z [M, D], L_invT [M, M].  kappa forms directly as
+    Knm (L^-T L^-1) at 3-pass -- the XLA production path's own algorithm
+    and precision (Precision.HIGH), proven end-to-end by the on-chip
+    acceptance sweep; the measured design sweep (FUSED_VARIANTS.json)
+    picked this over the slower two-factor whitened form.  Differentiable:
+    backward runs through the XLA twin (`_kappa_xla_twin`)."""
     return _fused_kappa_impl(X, Z, L_invT, lengthscale, variance, jitt, kind, tile_b)
 
 
@@ -237,6 +253,7 @@ def _fused_kappa_impl(X, Z, L_invT, lengthscale, variance, jitt, kind, tile_b):
             jnp.asarray(jitt, jnp.float32).reshape(()),
         ]
     )
+    kinv = _kinv(L_invT.astype(jnp.float32))
     kappa, ktilde = pl.pallas_call(
         functools.partial(_kappa_kernel, kind=kind),
         grid=(Bp // tile_b,),
@@ -254,13 +271,13 @@ def _fused_kappa_impl(X, Z, L_invT, lengthscale, variance, jitt, kind, tile_b):
             jax.ShapeDtypeStruct((Bp, M), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         ],
-    )(X.astype(jnp.float32), Z.astype(jnp.float32), L_invT.astype(jnp.float32), params)
+    )(X.astype(jnp.float32), Z.astype(jnp.float32), kinv, params)
     return kappa[:B], ktilde[:B, 0]
 
 
 # --------------------------------------- batched (multi-latent) kappa+moments
 def _kappa_moments_batched_kernel(
-    x_ref, z_ref, linvt_ref, mu_ref, sigma_ref, ls_ref, params_ref,
+    x_ref, z_ref, kinv_ref, mu_ref, sigma_ref, ls_ref, params_ref,
     kappa_ref, mf_ref, vf_ref, *, kind,
 ):
     """Grid (L, B-tiles): one latent GP x one minibatch tile per step.
@@ -285,9 +302,9 @@ def _kappa_moments_batched_kernel(
     jitt = params_ref[l, 1]
     inv_ls = 1.0 / ls_ref[0, 0]  # [D]
     kappa, ktilde = _kappa_tile(
-        x_ref[:] * inv_ls, z_ref[0] * inv_ls, linvt_ref[0], var, jitt, kind
+        x_ref[:] * inv_ls, z_ref[0] * inv_ls, kinv_ref[0], var, jitt, kind
     )
-    mf = _dot3(kappa, mu_ref[0])  # [TB, 1]
+    mf = _dot1(kappa, mu_ref[0])  # [TB, 1] DEFAULT: matches the XLA twin
     kS = _dot1(kappa, sigma_ref[0])  # DEFAULT: matches the XLA twin einsum
     vf = jnp.maximum(ktilde + jnp.sum(kS * kappa, axis=1, keepdims=True), 1e-12)
     kappa_ref[0] = kappa
@@ -300,10 +317,9 @@ def _kappa_moments_xla_twin(X, Z, L_invT, ls, var, mu, Sigma, jitt, kind):
     ls is [L, D] (per-latent ARD; isotropic = broadcast columns)."""
     def twin(z, linvt, l, v, m, s):
         knm = _gram(X / l, z / l, v, kind)
-        w = _dot3(knm, linvt)
-        ktilde = jnp.maximum(v + jitt - jnp.sum(w * w, axis=1), 1e-12)
-        kappa = _dot3_t(w, linvt)
-        mf = _dot3(kappa, m[:, None])[:, 0]
+        kappa = _dot3(knm, _kinv(linvt))
+        ktilde = jnp.maximum(v + jitt - jnp.sum(kappa * knm, axis=1), 1e-12)
+        mf = _dot1(kappa, m[:, None])[:, 0]
         vf = jnp.maximum(ktilde + jnp.sum(_dot1(kappa, s) * kappa, axis=1), 1e-12)
         return kappa, mf, vf
 
@@ -319,8 +335,8 @@ def fused_kappa_moments_batched(
     X [B,D]; Z [L,M,D]; L_invT [L,M,M] = per-latent (chol(Kmm)^-1)^T;
     ls [L,D] (per-latent ARD; broadcast isotropic values to D columns);
     var [L]; mu [L,M]; Sigma [L,M,M] (the ORIGINAL inducing-basis
-    posterior -- no whitening required; kappa is formed through the
-    whitened intermediate in-kernel, module docstring).  The latent axis
+    posterior; kappa forms directly as Knm K^-1 in-kernel at 3-pass,
+    module docstring).  The latent axis
     is a grid dimension: multiclass (K classes), MOVGP/MOSVGP (Q latents)
     and heteroscedastic (2 GPs) all hit this path.  Differentiable via the
     XLA twin (hyperparameter steps)."""
@@ -392,7 +408,7 @@ def _kappa_moments_batched_impl(X, Z, L_invT, ls, var, mu, Sigma, jitt, kind, ti
     )(
         X.astype(jnp.float32),
         Z.astype(jnp.float32),
-        L_invT.astype(jnp.float32),
+        _kinv(L_invT.astype(jnp.float32)),
         mu.astype(jnp.float32)[..., None],
         Sigma.astype(jnp.float32),
         ls3d,
@@ -416,7 +432,7 @@ def _stats_batched_kernel(kappa_ref, g_ref, theta_ref, s1_ref, s2_ref):
     s1_ref[0] += jnp.sum(kappa * g, axis=0, keepdims=True)
     # DEFAULT precision: consumed in the kappa basis (no amplification),
     # matching the XLA twin einsum (module docstring)
-    s2_ref[0] += _dot1((kappa * th).T, kappa)
+    s2_ref[0] += _dot1_g0(kappa * th, kappa)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b",))
@@ -468,7 +484,7 @@ def _stats_kernel(kappa_ref, g_ref, theta_ref, s1_ref, s2_ref):
 
     s1_ref[:] += jnp.sum(kappa * g, axis=0, keepdims=True)  # [1, M]
     # DEFAULT precision: kappa-basis, matches the XLA twin (module doc)
-    s2_ref[:] += _dot1((kappa * th).T, kappa)
+    s2_ref[:] += _dot1_g0(kappa * th, kappa)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b",))
@@ -506,10 +522,10 @@ def cavi_stats(kappa, g, theta, tile_b=512):
 
 # ------------------------------------------------- fused full CAVI statistics
 def _cavi_fused_kernel(
-    x_ref, y_ref, mask_ref, z_ref, linvt_ref, mu_ref, sigma_ref, params_ref,
+    x_ref, y_ref, mask_ref, z_ref, kinv_ref, mu_ref, sigma_ref, params_ref,
     s1_ref, s2_ref, c_ref, theta_ref, mf_ref, vf_ref, *, kind, lik,
 ):
-    """One pass per B-tile: gram -> W = Knm L^-T -> (kappa, Ktilde) ->
+    """One pass per B-tile: gram -> kappa = Knm K^-1 -> Ktilde ->
     latent moments -> likelihood E-step -> kappa-basis statistic
     accumulation.  Everything VMEM-resident; the minibatch tile is read
     exactly once from HBM.  Precision policy: module docstring (the
@@ -522,8 +538,8 @@ def _cavi_fused_kernel(
     p0 = params_ref[4]  # likelihood parameter (sigma2 / nu etc.)
     p1 = params_ref[5]
 
-    kappa, ktilde = _kappa_tile(x_ref[:] / ls, z_ref[:] / ls, linvt_ref[:], var, jitt, kind)
-    mf = _dot3(kappa, mu_ref[:])  # [TB, 1] (matvec; 3-pass is free)
+    kappa, ktilde = _kappa_tile(x_ref[:] / ls, z_ref[:] / ls, kinv_ref[:], var, jitt, kind)
+    mf = _dot1(kappa, mu_ref[:])  # [TB, 1] DEFAULT: matches the XLA twin
     kS = _dot1(kappa, sigma_ref[:])  # DEFAULT: matches the XLA twin
     # var_f >= 0 mathematically (Ktilde + quadratic form); clamp shields the
     # E-step's sqrt/ratios from tiny negative rounding
@@ -598,9 +614,9 @@ def _cavi_fused_kernel(
     m = mask_ref[:]  # [TB, 1]
     s1_ref[:] += jnp.sum(kappa * (rho * gmu * m), axis=0, keepdims=True)
     # DEFAULT precision: kappa-basis statistics feed the natural-gradient
-    # update directly (no unwhitening, no cond amplification) and the XLA
+    # update directly (no basis mapping, no cond amplification) and the XLA
     # twin einsum also runs DEFAULT -- see module docstring
-    s2_ref[:] += _dot1((kappa * (rho * gs * m)).T, kappa)
+    s2_ref[:] += _dot1_g0(kappa * (rho * gs * m), kappa)
 
 
 _FUSED_LIKS = (
@@ -617,8 +633,8 @@ def fused_cavi_stats(
     """Fused kappa-basis statistics for one CAVI step (single latent GP).
 
     Takes the ORIGINAL inducing-basis posterior (mu [M], Sigma [M, M]) and
-    L_invT = (chol(Kmm)^-1)^T; kappa forms in-kernel through the whitened
-    intermediate (module docstring).  Returns
+    L_invT = (chol(Kmm)^-1)^T; kappa forms in-kernel directly as
+    Knm (L^-T L^-1) at 3-pass (module docstring).  Returns
     (s1 [M], S2 [M, M], c [B], theta [B], mf [B], vf [B]) with
     (s1, S2) = (kappa^T rho gmu, kappa^T diag(rho gs) kappa) -- directly
     consumable by the natural-gradient update, no basis mapping.  (c,
@@ -676,7 +692,7 @@ def fused_cavi_stats(
         yb.astype(jnp.float32)[:, None],
         mask[:, None],
         Z.astype(jnp.float32),
-        L_invT.astype(jnp.float32),
+        _kinv(L_invT.astype(jnp.float32)),
         mu.astype(jnp.float32)[:, None],
         Sigma.astype(jnp.float32),
         params,

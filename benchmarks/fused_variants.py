@@ -43,10 +43,22 @@ from agp_tpu.ops.pallas_kernels import (
     _dot1,
     _dot3,
     _gram,
-    _kappa_tile,
     _round_up,
     fused_cavi_stats,
 )
+
+
+def _kappa_tile_two_factor(x, z, linvt, var, jitt, kind):
+    """The round-4a two-factor form (W = Knm L^-T, kappa = W L^-1), kept
+    here for the historical A/B after the production `_kappa_tile` moved to
+    the direct Knm K^-1 form this sweep selected."""
+    knm = _gram(x, z, var, kind)
+    w = _dot3(knm, linvt)
+    ktilde = jnp.maximum(
+        var + jitt - jnp.sum(w * w, axis=1, keepdims=True), 1e-12
+    )
+    kappa = _dot3(w, linvt, dims=(((1,), (1,)), ((), ())))
+    return kappa, ktilde
 
 
 def _sync(out):
@@ -174,7 +186,7 @@ def _v5_kernel(x_ref, y_ref, z_ref, linvt_ref, mu_ref, sigma_ref, params_ref,
                s1_ref, s2_ref, c_ref, theta_ref, mf_ref, vf_ref):
     i = pl.program_id(0)
     ls, var, jitt, rho = (params_ref[0], params_ref[1], params_ref[2], params_ref[3])
-    kappa, ktilde = _kappa_tile(
+    kappa, ktilde = _kappa_tile_two_factor(
         x_ref[:] / ls, z_ref[:] / ls, linvt_ref[:], var, jitt, "rbf"
     )
     mf = _dot3(kappa, mu_ref[:])

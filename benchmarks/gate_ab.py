@@ -28,6 +28,10 @@ from agp_tpu.training.train import _vi_steps, init_state
 
 
 def run(mode, model, state, X, y, iters, chunk):
+    # pallas_override is TRACE-time state and not part of the jit cache key:
+    # without this, the "on" run silently reuses the "off" compilation (the
+    # first version of this script measured exactly 1.00x everywhere).
+    jax.clear_caches()
     with pallas_override(mode):
         m, s = model, state
         for _ in range(2):  # compile + weak->strong recompile absorb
@@ -45,13 +49,22 @@ def run(mode, model, state, X, y, iters, chunk):
 def main():
     print("backend:", jax.default_backend(), flush=True)
     rows = []
-    for lik_name, M, B, iters, chunk in [
+    import sys
+
+    configs = [
         ("logistic", 512, 65536, 600, 200),
+        ("logistic", 512, 32768, 1200, 400),
         ("logistic", 512, 8192, 2000, 500),
         ("logistic", 256, 32768, 1200, 400),
         ("studentt", 512, 65536, 600, 200),
         ("multiclass", 512, 8192, 1200, 400),
-    ]:
+        ("multiclass", 512, 32768, 600, 200),
+    ]
+    # argv filter, e.g. `gate_ab.py logistic:512:32768` runs one config
+    if len(sys.argv) > 1:
+        want = {tuple(a.split(":")) for a in sys.argv[1:]}
+        configs = [c for c in configs if (c[0], str(c[1]), str(c[2])) in want]
+    for lik_name, M, B, iters, chunk in configs:
         N, D = max(B * 3, 100_000), 8
         key = jax.random.PRNGKey(0)
         X = jax.random.normal(key, (N, D), jnp.float32)

@@ -8,6 +8,13 @@ Measures, per (B, M) shape:
 
 Writes PALLAS_BENCH.json.  Run on the real chip:  python benchmarks/pallas_vs_xla.py
 (first compile over the axon tunnel is slow; results cached in .jax_cache).
+
+CAVEAT: per-call dispatch over the axon tunnel adds a ~1-2 ms floor with
+high run-to-run variance, so sub-~2 ms rows are dispatch-dominated and
+noisy.  The authoritative fused-vs-XLA comparison is the scan-fused
+production A/B (benchmarks/gate_ab.py -> GATE_AB.json), which amortizes
+dispatch and reproduces to ~0.1% across runs; the auto gate is derived
+from THAT, not from this file.
 """
 from __future__ import annotations
 

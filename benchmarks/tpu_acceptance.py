@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import agp_tpu as agp
+from agp_tpu.inference.analytic_vi import pallas_override
 
 DTYPE = jnp.float32
 RESULTS = []
@@ -249,8 +250,9 @@ def fused_tier():
         agp.LogisticLikelihood.create(),
         agp.AnalyticSVI(8192, minibatch_sampling="slice"), Z=X[:512], optimiser=None,
     )
-    m, s = agp.train(m, X, y, iterations=150)
-    acc = float(jnp.mean((agp.predict_y(m, s, X[:8192]) > 0) == (jnp.asarray(y[:8192]) > 0)))
+    with pallas_override("on"):
+        m, s = agp.train(m, X, y, iterations=150)
+        acc = float(jnp.mean((agp.predict_y(m, s, X[:8192]) > 0) == (jnp.asarray(y[:8192]) > 0)))
     return acc, "> 0.9", acc > 0.9
 
 
@@ -290,8 +292,12 @@ def _fused_svgp(lik, X, minibatch=8192):
 def _fused_reg_check(lik, key, noise_fn, thresh):
     X, f, y = _fused_reg_data(key, noise_fn)
     m = _fused_svgp(lik, X)
-    m, s = agp.train(m, X, y, iterations=150)
-    mu = agp.predict_f(m, s, X[:4096])
+    # force the tier: the round-4 auto gate needs per-step batch > 32768
+    # (GATE_AB.json) and these oracles exist to prove KERNEL correctness
+    # on hardware at every fused likelihood, not the gate policy
+    with pallas_override("on"):
+        m, s = agp.train(m, X, y, iterations=150)
+        mu = agp.predict_f(m, s, X[:4096])
     rmse = float(jnp.sqrt(jnp.mean((mu - f[:4096]) ** 2)))
     return rmse, f"< {thresh}", rmse < thresh
 
@@ -375,8 +381,9 @@ def fused_batched_multiclass():
         agp.AnalyticSVI(8192, minibatch_sampling="slice"),
         Z=X[:512], optimiser=None,
     )
-    m, s = agp.train(m, X, y, iterations=200)
-    pred = agp.predict_y(m, s, X[:4096])
+    with pallas_override("on"):
+        m, s = agp.train(m, X, y, iterations=200)
+        pred = agp.predict_y(m, s, X[:4096])
     acc = float(jnp.mean(pred == jnp.asarray(y[:4096])))
     return acc, "> 0.85", acc > 0.85
 
