@@ -43,10 +43,13 @@ class AnalyticVI(InferenceConfig):
     minibatch_sampling: "gather" draws b iid indices (a random-access HBM
     gather); "slice" takes a contiguous window at a random offset -- a
     dynamic-slice, much cheaper on TPU; statistically equivalent when the
-    data rows are pre-shuffled.  "block" gathers b/8 random aligned 8-row
-    tiles -- the same bytes as "gather" in 8x fewer, larger transactions
-    (a block bootstrap: tiles are iid samples of 8 exchangeable rows;
-    requires batchsize % 8 == 0, else falls back to "gather")."""
+    data rows are pre-shuffled.  "block" (or "block:<n>") gathers b/n
+    random aligned n-row tiles (default n=32, the measured v5e
+    speed/granularity knee: 25.4k iters/s vs iid gather's 13.5k and
+    slice's 35.7k at the flagship shape; "block:64" reaches 29.1k) -- the
+    same bytes as "gather" in n-times fewer, larger transactions (a block
+    bootstrap: tiles are iid samples of n exchangeable rows; requires
+    batchsize % n == 0, else falls back to "gather")."""
 
     stochastic: bool = False
     batchsize: int = 0

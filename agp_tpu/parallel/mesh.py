@@ -250,6 +250,24 @@ def _local_draw(n_dev: int, batch_per_device: int, n_pad: int, axis_name: str,
                 jax.lax.dynamic_slice_in_dim(xs, start, batch_per_device, 0),
                 jax.lax.dynamic_slice_in_dim(ys, start, batch_per_device, 0),
             )
+        if mode.startswith("block"):
+            # aligned n-row tiles per device (training/train.py block mode,
+            # measured knee n=32); the dynamic valid-row bound rounds down
+            # to whole tiles, so up to n-1 tail rows of the padded shard
+            # are never sampled -- same class as the pad-row exclusion
+            tile = int(mode.split(":", 1)[1]) if ":" in mode else 32
+            if batch_per_device % tile == 0 and xs.shape[0] >= tile:
+                n_t = xs.shape[0] // tile
+                tidx = jax.random.randint(
+                    k, (batch_per_device // tile,), 0, hi // tile
+                )
+                xt = jnp.take(
+                    xs[: n_t * tile].reshape(n_t, tile, xs.shape[1]), tidx, axis=0
+                ).reshape(batch_per_device, xs.shape[1])
+                yt = jnp.take(
+                    ys[: n_t * tile].reshape(n_t, tile), tidx, axis=0
+                ).reshape(batch_per_device)
+                return xt, yt
         idx = jax.random.randint(k, (batch_per_device,), 0, hi)
         return jnp.take(xs, idx, axis=0), jnp.take(ys, idx, axis=0)
 

@@ -83,21 +83,30 @@ def _draw_batch(model, state, X, y, step):
         x_b = jax.lax.dynamic_slice_in_dim(X, start, b, axis=0)
         y_b = jax.lax.dynamic_slice_in_dim(y, start, b, axis=0)
         return x_b, y_b
-    if mode == "block" and b % 8 == 0 and X.shape[0] >= 8:
-        # gather of b/8 random ALIGNED 8-row tiles: the same bytes as the
-        # iid gather in 8x fewer, 8x larger HBM transactions (TPU row
-        # gathers are transaction-bound).  Statistically a block bootstrap:
-        # with pre-shuffled rows the tiles are iid draws of 8 exchangeable
-        # rows -- same estimator variance class as the iid gather.
-        n_tiles, tile = X.shape[0] // 8, 8
-        tidx = jax.random.randint(sub, (b // tile,), 0, n_tiles)
-        x_b = jnp.take(
-            X[: n_tiles * tile].reshape(n_tiles, tile, X.shape[1]), tidx, axis=0
-        ).reshape(b, X.shape[1])
-        y_b = jnp.take(
-            y[: n_tiles * tile].reshape(n_tiles, tile), tidx, axis=0
-        ).reshape(b)
-        return x_b, y_b
+    if mode.startswith("block"):
+        # gather of b/tile random ALIGNED tile-row blocks: the same bytes
+        # as the iid gather in tile-times fewer, tile-times larger HBM
+        # transactions (TPU row gathers are transaction-bound; measured
+        # v5e full-CAVI at the flagship shape M=64/B=4096/D=20, 2000-step
+        # scan: iid gather 13.5k, block8 15.9k, block16 24.6k, block32
+        # 25.4k, block64 29.1k vs slice 35.7k iters/s -- GATHER_MODES.json
+        # / RESULTS.md round 4).  Statistically a block bootstrap: with
+        # pre-shuffled rows the tiles are iid draws of `tile` exchangeable
+        # rows; B/tile independent blocks per batch (128 at the default)
+        # keeps the gradient-estimator variance near the iid gather's.
+        # "block" -> tile=32 (the measured speed/granularity knee);
+        # "block:<n>" picks the tile height explicitly.
+        tile = int(mode.split(":", 1)[1]) if ":" in mode else 32
+        if b % tile == 0 and X.shape[0] >= tile:
+            n_tiles = X.shape[0] // tile
+            tidx = jax.random.randint(sub, (b // tile,), 0, n_tiles)
+            x_b = jnp.take(
+                X[: n_tiles * tile].reshape(n_tiles, tile, X.shape[1]), tidx, axis=0
+            ).reshape(b, X.shape[1])
+            y_b = jnp.take(
+                y[: n_tiles * tile].reshape(n_tiles, tile), tidx, axis=0
+            ).reshape(b)
+            return x_b, y_b
     # (Measured: pre-sorting the iid indices for gather locality LOSES ~5%
     # on v5e at B=4096 -- the sort costs more than the gather saves.)
     idx = jax.random.randint(sub, (b,), 0, X.shape[0])

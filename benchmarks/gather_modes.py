@@ -5,10 +5,11 @@ flagship shape).
 Times the FULL jitted CAVI scan (200 steps) at the flagship shape for:
   slice    -- contiguous window at a random offset (dynamic-slice)
   gather   -- iid row gather (jnp.take of B random rows)
-  block8   -- gather of B/8 random ALIGNED 8-row tiles: same HBM bytes in
-              8x fewer, 8x larger transactions; statistically a block
-              bootstrap (rows pre-shuffled once => tiles are iid samples
-              of 8 exchangeable rows)
+  block<n> -- gather of B/n random ALIGNED n-row tiles (n in 8/16/32/64):
+              same HBM bytes in n-times fewer, larger transactions;
+              statistically a block bootstrap (rows pre-shuffled once =>
+              tiles are iid samples of n exchangeable rows).  n=32 is the
+              production "block" mode default (training/train.py)
   reshuffle -- slice + a full on-device permutation of (X, y) every epoch,
               amortized over N/B steps: exact iid minibatches at slice cost
               plus the amortized shuffle
@@ -27,8 +28,16 @@ _os.environ.setdefault(
 import json
 import time
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pl = pltpu = None
 
 
 def _sync(out):
@@ -56,7 +65,9 @@ def main():
     from agp_tpu.training.train import init_state
 
     print("backend:", jax.default_backend(), flush=True)
-    N, D, M, B, STEPS = 1_000_000, 8, 64, 256, 200
+    # the flagship/bench.py shape (RESULTS.md headline: slice 37,966 vs
+    # gather 15,001 iters/s at M=64/B=4096/N=200k)
+    N, D, M, B, STEPS = 200_000, 20, 64, 4096, 2000
     key = jax.random.PRNGKey(0)
     X = jax.random.normal(key, (N, D), jnp.float32)
     w = jax.random.normal(jax.random.PRNGKey(1), (D,), jnp.float32)
@@ -80,10 +91,11 @@ def main():
         if mode == "gather":
             idx = jax.random.randint(sub, (B,), 0, N)
             return jnp.take(Xa, idx, axis=0), jnp.take(ya, idx, axis=0)
-        if mode == "block8":
-            tidx = jax.random.randint(sub, (B // 8,), 0, N // 8)
-            xt = jnp.take(Xa.reshape(N // 8, 8, D), tidx, axis=0).reshape(B, D)
-            yt = jnp.take(ya.reshape(N // 8, 8), tidx, axis=0).reshape(B)
+        if mode.startswith("block"):
+            n = int(mode[5:])
+            tidx = jax.random.randint(sub, (B // n,), 0, N // n)
+            xt = jnp.take(Xa.reshape(N // n, n, D), tidx, axis=0).reshape(B, D)
+            yt = jnp.take(ya.reshape(N // n, n), tidx, axis=0).reshape(B)
             return xt, yt
         raise ValueError(mode)
 
@@ -102,7 +114,7 @@ def main():
         return scan
 
     rows = {}
-    for mode in ("slice", "gather", "block8"):
+    for mode in ("slice", "gather", "block8", "block16", "block32", "block64"):
         scan = make_scan(mode)
         t = timeit(lambda: scan(model, state0, X, y2))
         rows[mode] = {"steps_per_s": STEPS / t, "ms_per_step": t / STEPS * 1e3}
@@ -127,7 +139,7 @@ def main():
           f"{t_shuf*1e3:.1f} ms per {N//B} steps)", flush=True)
 
     # raw sampling op cost (isolate from the CAVI step)
-    for mode in ("slice", "gather", "block8"):
+    for mode in ("slice", "gather", "block32"):
         @jax.jit
         def raw(k, Xa, ya, mode=mode):
             def body(carry, i):
@@ -148,3 +160,84 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ------------------------------------------------------- DMA tile gather
+# MEASURED NEGATIVE RESULT, kept here as the floor analysis for VERDICT r3
+# Weak #6: a scalar-prefetch + async-DMA tile gather (the "hand-rolled
+# engine" alternative to XLA's gather op).  On v5e at the flagship shape it
+# ties jnp.take at the same tile granularity (27.5 vs 26.0 us/draw at
+# tr=32) -- XLA's gather lowering is already at the DMA-engine floor once
+# transactions are >= ~2.5 KB.  The real lever is tile granularity (see
+# the block:<n> sampling mode); per-ROW DMAs (80 B) would pay ~100 ns of
+# issue/management per descriptor (~410 us for B=4096), strictly worse
+# than XLA's vectorized gather (47.8 us).  Not a production path.
+def _gather_tiles_kernel(tidx_ref, x_ref, out_ref, sems, *, C, rows):
+    g = pl.program_id(0)
+    dmas = []
+    for j in range(C):
+        t = tidx_ref[g * C + j]
+        d = pltpu.make_async_copy(
+            x_ref.at[pl.ds(t * rows, rows), :],
+            out_ref.at[pl.ds(j * rows, rows), :],
+            sems.at[j],
+        )
+        d.start()
+        dmas.append(d)
+    for d in dmas:
+        d.wait()
+
+
+def gather_tile_rows(D, lanes=128):
+    """Smallest tile height (in logical rows of width D) whose flat f32
+    size is a whole number of 128-lane rows -- the DMA slice-alignment
+    requirement of `gather_row_tiles` (Mosaic: slices along the lane dim
+    must be 128-aligned, so tiles are expressed as whole rows of the
+    [N*D/128, 128] flat view).  D=20 -> 32 rows (2560 B); D=8 -> 16 rows."""
+    import math
+
+    return lanes // math.gcd(D, lanes)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "tiles_per_step"))
+def gather_row_tiles(X, tidx, tile_rows=None, tiles_per_step=64):
+    """iid minibatch gather as tile-granular async DMAs (TPU).
+
+    out[j*tr:(j+1)*tr, :] = X[tidx[j]*tr:(tidx[j]+1)*tr, :] for each of the
+    T tile indices: the "block" minibatch-sampling mode's transfer, done as
+    T contiguous `tr`-row HBM->VMEM copies with `tiles_per_step` DMAs in
+    flight per grid step and the indices scalar-prefetched to SMEM.  XLA's
+    gather op lowers an iid-row draw to ~7 GB/s effective on v5e (measured
+    47.8 us for 4096x20 f32, GATHER_MODES.json); scattered reads belong on
+    the row-DMA engine.
+
+    Mosaic requires DMA slices 128-aligned along the lane dim, so X is
+    viewed as [N*D/128, 128] and tiles are whole flat rows: tile_rows
+    defaults to `gather_tile_rows(D)` (D=20 -> 32 logical rows = 2560 B
+    per DMA) and must keep tile_rows*D % 128 == 0.  Requires
+    N % tile_rows == 0 over the indexed prefix (callers draw tidx from
+    N // tile_rows tiles).  Portable fallback: jnp.take on the
+    [N//tr, tr, D] view (training/train.py block mode)."""
+    N, D = X.shape
+    tr = gather_tile_rows(D) if tile_rows is None else tile_rows
+    if (tr * D) % 128:
+        raise ValueError(f"tile_rows*D must be a multiple of 128, got {tr}*{D}")
+    T = tidx.shape[0]
+    C = min(tiles_per_step, T)
+    while T % C:
+        C //= 2
+    rows = tr * D // 128  # flat 128-lane rows per tile
+    X128 = X.reshape(N * D // 128, 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // C,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((C * rows, 128), lambda g, tref: (g, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((C,))],
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_tiles_kernel, C=C, rows=rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T * rows, 128), X.dtype),
+    )(tidx.astype(jnp.int32), X128)
+    return out.reshape(T * tr, D)

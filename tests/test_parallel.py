@@ -393,16 +393,19 @@ def test_sharded_svi_scan_chunks_match_per_step():
     assert int(ss.step) == int(sc.step) == 7
 
 
-def test_sharded_svi_slice_sampling_trains():
-    """Per-device contiguous-window (slice) minibatch draws: the sharded
-    analog of the single-chip slice mode (training/train.py::_draw_batch)."""
+@pytest.mark.parametrize("sampling", ["slice", "block:16"])
+def test_sharded_svi_slice_sampling_trains(sampling):
+    """Per-device contiguous-window (slice) and aligned-tile (block)
+    minibatch draws: the sharded analogs of the single-chip modes
+    (training/train.py::_draw_batch).  The padded last shard must exclude
+    pad rows (slice: dynamic upper bound; block: whole-tile bound)."""
     from agp_tpu.parallel.mesh import make_mesh, sharded_svi_train
 
     X = np.random.RandomState(0).randn(1000, 4)  # 1000 % 8 != 0 -> padded
     y = np.sign(X @ np.ones(4))
     m = agp.SVGP.create(
         agp.SqExponentialKernel(), agp.LogisticLikelihood.create(),
-        agp.AnalyticSVI(128, minibatch_sampling="slice"),
+        agp.AnalyticSVI(128, minibatch_sampling=sampling),
         jnp.asarray(X[:16]), optimiser=None,
     )
     mesh = make_mesh(8)

@@ -222,16 +222,20 @@ def test_svgp_slice_sampling_converges():
     assert err < 0.35
 
 
-def test_svgp_block_sampling_converges():
-    """block minibatching (random aligned 8-row tiles -- larger HBM
+@pytest.mark.parametrize("mode", ["block", "block:8", "block:48"])
+def test_svgp_block_sampling_converges(mode):
+    """block minibatching (random aligned n-row tiles -- larger HBM
     transactions than iid gather, same estimator class) reaches the same
-    quality as gather/slice sampling."""
+    quality as gather/slice sampling.  "block" defaults to 32-row tiles
+    (b=32 -> one tile per batch); "block:8" picks the height explicitly;
+    "block:48" does not divide b=32 and must fall back to the iid gather
+    rather than crash."""
     kern = agp.SqExponentialKernel()
     X, f = generate_f(200, 2, kern)
     y = np.asarray(f > 0, dtype=float) * 2 - 1
     lik = agp.LogisticLikelihood.create()
     model = agp.SVGP.create(
-        kern, lik, agp.AnalyticSVI(32, minibatch_sampling="block"), X[:20],
+        kern, lik, agp.AnalyticSVI(32, minibatch_sampling=mode), X[:20],
         optimiser=None,
     )
     model, state = agp.train(model, X, y, iterations=100)
