@@ -179,16 +179,16 @@ def _pallas_kind(model):
     the fused step wins 1.17x (logistic) / 1.31x (studentt) at
     M=512/B=65536, is a wash (0.99x) at M=512/B=32768 and loses at
     M=512/B=8192 (0.95x) and M=256/B=32768 (0.81x).  Auto: on for
-    M >= 512 AND per-step batch > 32768 (full-batch sparse AnalyticVI,
-    batchsize None, gates on M alone -- its per-step B is N, beyond the
-    measured win region)."""
+    M >= 512 AND stochastic per-step batch > 32768.  Full-batch sparse
+    AnalyticVI (stochastic=False, batchsize=0 -- config.py) gates on M
+    alone: its per-step B is N, usually beyond the measured win region."""
     if not _pallas_enabled(model) or model.n_latent != 1:
         return None
     if _pallas_forced() != "on":
         if getattr(model, "n_inducing", 0) < 512:
             return None
-        bs = getattr(model.inference, "batchsize", None)
-        if bs is not None and bs <= 32768:
+        inf = model.inference
+        if getattr(inf, "stochastic", False) and inf.batchsize <= 32768:
             return None
     return _PALLAS_KINDS.get(type(model.kernel).__name__)
 
@@ -230,8 +230,8 @@ def _pallas_kind_batched(model):
     Measured v5e win region (round-4 direct-kappa kernels, host-readback
     production A/B -- GATE_AB.json): K=3 logistic-softmax 1.28x at
     M=512/B=32768, 0.95x at M=512/B=8192.  Auto: on for M >= 512 AND
-    per-step batch >= 16384 (full-batch AnalyticVI, batchsize None, gates
-    on M alone)."""
+    stochastic per-step batch >= 16384 (full-batch AnalyticVI,
+    stochastic=False with batchsize=0, gates on M alone -- per-step B=N)."""
     if not _pallas_enabled(model) or model.n_latent <= 1:
         return None
     if not model.is_sparse or getattr(model, "is_online", False):
@@ -239,8 +239,8 @@ def _pallas_kind_batched(model):
     if _pallas_forced() != "on":
         if getattr(model, "n_inducing", 0) < 512:
             return None
-        bs = getattr(model.inference, "batchsize", None)
-        if bs is not None and bs < 16384:
+        inf = model.inference
+        if getattr(inf, "stochastic", False) and inf.batchsize < 16384:
             return None
     # [L, D] ARD lengthscales fold into the coordinates in-kernel (the
     # batched kernel takes ls as a per-latent [L, D] VMEM input)

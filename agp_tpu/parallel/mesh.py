@@ -254,9 +254,20 @@ def _local_draw(n_dev: int, batch_per_device: int, n_pad: int, axis_name: str,
             # aligned n-row tiles per device (training/train.py block mode,
             # measured knee n=32); the dynamic valid-row bound rounds down
             # to whole tiles, so up to n-1 tail rows of the padded shard
-            # are never sampled -- same class as the pad-row exclusion
-            tile = int(mode.split(":", 1)[1]) if ":" in mode else 32
-            if batch_per_device % tile == 0 and xs.shape[0] >= tile:
+            # are never sampled -- same class as the pad-row exclusion.
+            # The padded LAST shard must keep >= 1 whole valid tile
+            # (shard_size - n_pad >= tile, static), else hi // tile == 0
+            # there would make randint's range empty -- undefined values
+            # under jit that could sample pad rows; fall back to the iid
+            # gather instead.
+            from ..training.train import block_tile
+
+            tile = block_tile(mode)
+            if (
+                tile is not None
+                and batch_per_device % tile == 0
+                and xs.shape[0] - n_pad >= tile
+            ):
                 n_t = xs.shape[0] // tile
                 tidx = jax.random.randint(
                     k, (batch_per_device // tile,), 0, hi // tile

@@ -70,6 +70,20 @@ def init_state(model, X=None, y=None, key=None) -> TrainState:
     )
 
 
+def block_tile(mode: str):
+    """Tile height for "block"/"block:<n>" minibatch sampling.  Returns None
+    for a malformed or non-positive suffix ("block:x", "block:0") so callers
+    fall back to the iid gather -- the same graceful fallback every other
+    malformed/inapplicable mode gets -- instead of raising at trace time."""
+    if ":" not in mode:
+        return 32
+    try:
+        tile = int(mode.split(":", 1)[1])
+    except ValueError:
+        return None
+    return tile if tile >= 1 else None
+
+
 def _draw_batch(model, state, X, y, step):
     """Minibatch for iteration `step`: key folded with the counter, so the
     hyperparameter step can reproduce the exact batch whose local variables
@@ -96,8 +110,8 @@ def _draw_batch(model, state, X, y, step):
         # keeps the gradient-estimator variance near the iid gather's.
         # "block" -> tile=32 (the measured speed/granularity knee);
         # "block:<n>" picks the tile height explicitly.
-        tile = int(mode.split(":", 1)[1]) if ":" in mode else 32
-        if b % tile == 0 and X.shape[0] >= tile:
+        tile = block_tile(mode)
+        if tile is not None and b % tile == 0 and X.shape[0] >= tile:
             n_tiles = X.shape[0] // tile
             tidx = jax.random.randint(sub, (b // tile,), 0, n_tiles)
             x_b = jnp.take(

@@ -524,3 +524,47 @@ def test_fused_production_step_ard_matches_xla(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         g_p = jax.block_until_ready(jax.jit(jax.grad(neg_elbo))(log_ls))
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_xla), rtol=5e-3, atol=1e-6)
+
+
+def test_auto_gate_full_batch_uses_m_alone(monkeypatch):
+    """Full-batch sparse AnalyticVI has stochastic=False and batchsize=0
+    (config.py) -- the auto gate must treat that as "gate on M alone", not
+    as a tiny minibatch that disables the tier (round-4 advisor finding:
+    `bs <= 32768` on batchsize 0 silently killed the fused tier for
+    full-batch models in the measured win region)."""
+    import agp_tpu as agp
+    from agp_tpu.inference import analytic_vi
+
+    monkeypatch.delenv("AGP_TPU_PALLAS", raising=False)
+    monkeypatch.setattr(pk, "available", lambda: True)
+    kern = agp.SqExponentialKernel()
+    X = np.random.default_rng(0).normal(size=(64, 2))
+    Z = X[:20]
+
+    def mk(inference, M=520):
+        Zbig = np.random.default_rng(1).normal(size=(M, 2))
+        return agp.SVGP.create(
+            kern, agp.LogisticLikelihood.create(), inference, Zbig,
+            optimiser=None,
+        )
+
+    # full batch, M >= 512: tier ON (gates on M alone)
+    assert analytic_vi._pallas_kind(mk(agp.AnalyticVI())) == "rbf"
+    # stochastic below the measured win region: OFF
+    assert analytic_vi._pallas_kind(mk(agp.AnalyticSVI(4096))) is None
+    # stochastic above it: ON
+    assert analytic_vi._pallas_kind(mk(agp.AnalyticSVI(65536))) == "rbf"
+    # M below the knee: OFF regardless
+    assert analytic_vi._pallas_kind(mk(agp.AnalyticVI(), M=64)) is None
+
+    # batched (multi-latent) tier: same sentinel handling at its own knee
+    def mk_mc(inference, M=520):
+        Zbig = np.random.default_rng(2).normal(size=(M, 2))
+        return agp.SVGP.create(
+            kern, agp.LogisticSoftMaxLikelihood.create(3), inference, Zbig,
+            optimiser=None,
+        )
+
+    assert analytic_vi._pallas_kind_batched(mk_mc(agp.AnalyticVI())) == "rbf"
+    assert analytic_vi._pallas_kind_batched(mk_mc(agp.AnalyticSVI(8192))) is None
+    assert analytic_vi._pallas_kind_batched(mk_mc(agp.AnalyticSVI(16384))) == "rbf"

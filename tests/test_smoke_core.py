@@ -222,14 +222,26 @@ def test_svgp_slice_sampling_converges():
     assert err < 0.35
 
 
-@pytest.mark.parametrize("mode", ["block", "block:8", "block:48"])
+def test_block_tile_parsing():
+    """Malformed or non-positive "block:<n>" suffixes yield None (iid-gather
+    fallback) instead of raising at trace time (round-4 advisor finding)."""
+    from agp_tpu.training.train import block_tile
+
+    assert block_tile("block") == 32
+    assert block_tile("block:16") == 16
+    assert block_tile("block:x") is None
+    assert block_tile("block:0") is None
+    assert block_tile("block:-4") is None
+
+
+@pytest.mark.parametrize("mode", ["block", "block:8", "block:48", "block:x"])
 def test_svgp_block_sampling_converges(mode):
     """block minibatching (random aligned n-row tiles -- larger HBM
     transactions than iid gather, same estimator class) reaches the same
     quality as gather/slice sampling.  "block" defaults to 32-row tiles
     (b=32 -> one tile per batch); "block:8" picks the height explicitly;
-    "block:48" does not divide b=32 and must fall back to the iid gather
-    rather than crash."""
+    "block:48" does not divide b=32 and "block:x" is malformed -- both must
+    fall back to the iid gather rather than crash."""
     kern = agp.SqExponentialKernel()
     X, f = generate_f(200, 2, kern)
     y = np.asarray(f > 0, dtype=float) * 2 - 1
