@@ -82,7 +82,12 @@ from .models.multioutput import (
     mo_proba_y,
     mo_train,
 )
-from .models.online_svgp import OnlineSVGP, online_elbo, online_train
+from .models.online_svgp import (
+    OnlineSVGP,
+    online_elbo,
+    online_train,
+    online_train_stream,
+)
 from .models.svgp import SVGP, VGP
 from .models.vstp import VStP
 from .training import checkpoint
@@ -123,6 +128,8 @@ __all__ = [
     "mo_predict_y",
     "mo_proba_y",
     "online_train",
+    "online_train_stream",
+    "online_train_stream",
     "online_elbo",
     "checkpoint",
     # inference configs

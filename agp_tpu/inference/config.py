@@ -42,14 +42,17 @@ class AnalyticVI(InferenceConfig):
 
     minibatch_sampling: "gather" draws b iid indices (a random-access HBM
     gather); "slice" takes a contiguous window at a random offset -- a
-    dynamic-slice, much cheaper on TPU; statistically equivalent when the
-    data rows are pre-shuffled.  "block" (or "block:<n>") gathers b/n
-    random aligned n-row tiles (default n=32, the measured v5e
-    speed/granularity knee: 25.4k iters/s vs iid gather's 13.5k and
-    slice's 35.7k at the flagship shape; "block:64" reaches 29.1k) -- the
-    same bytes as "gather" in n-times fewer, larger transactions (a block
+    dynamic-slice; statistically equivalent when the data rows are
+    pre-shuffled.  "block" (or "block:<n>") gathers b/n random aligned
+    n-row tiles (default n=64, halved until it divides b) -- the same
+    bytes as "gather" in n-times fewer, larger transactions (a block
     bootstrap: tiles are iid samples of n exchangeable rows; requires
-    batchsize % n == 0, else falls back to "gather")."""
+    batchsize % n == 0, else falls back to "gather").  Measured v5e at
+    the flagship shape with the tile view hoisted out of the step scan
+    (GATHER_MODES.json round 5): gather 13.6k, block32 33.6k, block64
+    40.4k, block128 41.7k, slice 35.7k iters/s -- block64+ beats even
+    slice, so "block" is both the statistically-honest AND the fastest
+    minibatching mode."""
 
     stochastic: bool = False
     batchsize: int = 0

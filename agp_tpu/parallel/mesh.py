@@ -251,34 +251,47 @@ def _local_draw(n_dev: int, batch_per_device: int, n_pad: int, axis_name: str,
                 jax.lax.dynamic_slice_in_dim(ys, start, batch_per_device, 0),
             )
         if mode.startswith("block"):
-            # aligned n-row tiles per device (training/train.py block mode,
-            # measured knee n=32); the dynamic valid-row bound rounds down
-            # to whole tiles, so up to n-1 tail rows of the padded shard
-            # are never sampled -- same class as the pad-row exclusion.
-            # The padded LAST shard must keep >= 1 whole valid tile
-            # (shard_size - n_pad >= tile, static), else hi // tile == 0
-            # there would make randint's range empty -- undefined values
-            # under jit that could sample pad rows; fall back to the iid
-            # gather instead.
+            # aligned n-row tiles per device (training/train.py block mode);
+            # the dynamic valid-row bound rounds down to whole tiles, so up
+            # to n-1 tail rows of the padded shard are never sampled --
+            # same class as the pad-row exclusion.  The padded LAST shard
+            # must keep >= 1 whole valid tile (shard_size - n_pad >= tile,
+            # static), else hi // tile == 0 there would make randint's
+            # range empty -- undefined values under jit that could sample
+            # pad rows; fall back to the iid gather instead.
             from ..training.train import block_tile
 
-            tile = block_tile(mode)
-            if (
-                tile is not None
-                and batch_per_device % tile == 0
-                and xs.shape[0] - n_pad >= tile
-            ):
-                n_t = xs.shape[0] // tile
-                tidx = jax.random.randint(
-                    k, (batch_per_device // tile,), 0, hi // tile
-                )
-                xt = jnp.take(
-                    xs[: n_t * tile].reshape(n_t, tile, xs.shape[1]), tidx, axis=0
-                ).reshape(batch_per_device, xs.shape[1])
-                yt = jnp.take(
-                    ys[: n_t * tile].reshape(n_t, tile), tidx, axis=0
-                ).reshape(batch_per_device)
-                return xt, yt
+            tile = block_tile(mode, batch_per_device)
+            if tile is not None and batch_per_device % tile == 0:
+                if xs.ndim == 3:
+                    # PRE-TILED [T, tile, D]/[T, tile] shard views
+                    # (build_svi_trainer hoists the relayout out of the
+                    # whole run; the in-scan reshape costs up to ~200
+                    # us/step on v5e -- see training/train.py::_tile_views)
+                    cut = -(-n_pad // tile)  # whole tiles lost to padding
+                    hi_t = xs.shape[0] - jnp.where(dev == n_dev - 1, cut, 0) \
+                        if n_pad else xs.shape[0]
+                    tidx = jax.random.randint(
+                        k, (batch_per_device // tile,), 0, hi_t
+                    )
+                    xt = jnp.take(xs, tidx, axis=0).reshape(
+                        batch_per_device, xs.shape[-1]
+                    )
+                    yt = jnp.take(ys, tidx, axis=0).reshape(batch_per_device)
+                    return xt, yt
+                if xs.shape[0] - n_pad >= tile:
+                    n_t = xs.shape[0] // tile
+                    tidx = jax.random.randint(
+                        k, (batch_per_device // tile,), 0, hi // tile
+                    )
+                    xt = jnp.take(
+                        xs[: n_t * tile].reshape(n_t, tile, xs.shape[1]),
+                        tidx, axis=0,
+                    ).reshape(batch_per_device, xs.shape[1])
+                    yt = jnp.take(
+                        ys[: n_t * tile].reshape(n_t, tile), tidx, axis=0
+                    ).reshape(batch_per_device)
+                    return xt, yt
         idx = jax.random.randint(k, (batch_per_device,), 0, hi)
         return jnp.take(xs, idx, axis=0), jnp.take(ys, idx, axis=0)
 
@@ -483,6 +496,29 @@ def build_svi_trainer(
 
         fused = _pallas_fused_spec(model) is not None  # honors the auto gate
     sampling = getattr(model.inference, "minibatch_sampling", "gather")
+    if sampling.startswith("block"):
+        # hoist the block-mode tile relayout out of the whole run (one
+        # shard_map reshape at setup; see _local_draw's pre-tiled branch)
+        from ..training.train import block_tile
+
+        tile = block_tile(sampling, batch_per_device)
+        if (
+            tile is not None
+            and batch_per_device % tile == 0
+            and shard_rows % tile == 0
+            and shard_rows - n_pad >= tile
+        ):
+            ax = "data"
+            retile = jax.jit(
+                jax.shard_map(
+                    lambda a, b: (
+                        a.reshape(-1, tile, a.shape[-1]),
+                        b.reshape(-1, tile),
+                    ),
+                    mesh=mesh, in_specs=(P(ax), P(ax)), out_specs=(P(ax), P(ax)),
+                )
+            )
+            Xs, ys = retile(Xs, ys)
     if fused:
         step = sharded_fused_svi_step(mesh, model, batch_per_device, n_pad,
                                       sampling=sampling)

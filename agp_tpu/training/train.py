@@ -70,13 +70,21 @@ def init_state(model, X=None, y=None, key=None) -> TrainState:
     )
 
 
-def block_tile(mode: str):
-    """Tile height for "block"/"block:<n>" minibatch sampling.  Returns None
-    for a malformed or non-positive suffix ("block:x", "block:0") so callers
-    fall back to the iid gather -- the same graceful fallback every other
-    malformed/inapplicable mode gets -- instead of raising at trace time."""
+def block_tile(mode: str, b: int | None = None):
+    """Tile height for "block"/"block:<n>" minibatch sampling.  Bare
+    "block" defaults to 64 (the measured v5e speed knee, GATHER_MODES.json
+    round 5), halved until it divides the batchsize `b` when given so the
+    default never silently falls back to the iid gather on small batches.
+    Returns None for a malformed or non-positive suffix ("block:x",
+    "block:0") so callers fall back to the iid gather -- the same graceful
+    fallback every other malformed/inapplicable mode gets -- instead of
+    raising at trace time."""
     if ":" not in mode:
-        return 32
+        tile = 64
+        if b is not None:
+            while tile > 1 and b % tile:
+                tile //= 2
+        return tile
     try:
         tile = int(mode.split(":", 1)[1])
     except ValueError:
@@ -84,7 +92,37 @@ def block_tile(mode: str):
     return tile if tile >= 1 else None
 
 
-def _draw_batch(model, state, X, y, step):
+def _tile_views(X, y, tile):
+    """[T, tile, D]/[T, tile] aligned-tile views for block sampling.
+
+    MUST be built OUTSIDE any lax.scan over steps: on TPU the reshape of a
+    [N, D] argument to [T, tile, D] is a real relayout whenever tile rows
+    do not line up with the (8, 128) register tiling (every tile except 8
+    at D=20), and XLA does NOT hoist the loop-invariant relayout out of a
+    scan body -- measured v5e at the flagship shape: the in-body reshape
+    costs 196 us/step at tile=32 (vs 21 us hoisted), which is what made
+    the round-4 committed GATHER_MODES block16/32 numbers slower than the
+    iid gather.  Hoisted, the relayout runs once per dispatch and 2000-step
+    scans amortize it to noise."""
+    n_tiles = X.shape[0] // tile
+    return (
+        X[: n_tiles * tile].reshape(n_tiles, tile, X.shape[1]),
+        y[: n_tiles * tile].reshape(n_tiles, tile),
+    )
+
+
+def _block_mode_tile(model, b, n_rows):
+    """Static tile height when block sampling applies, else None."""
+    mode = getattr(model.inference, "minibatch_sampling", "gather")
+    if not mode.startswith("block"):
+        return None
+    tile = block_tile(mode, b)
+    if tile is not None and b % tile == 0 and n_rows >= tile:
+        return tile
+    return None
+
+
+def _draw_batch(model, state, X, y, step, tiled=None):
     """Minibatch for iteration `step`: key folded with the counter, so the
     hyperparameter step can reproduce the exact batch whose local variables
     are in the state (the reference reuses the iteration's minibatch for
@@ -97,40 +135,36 @@ def _draw_batch(model, state, X, y, step):
         x_b = jax.lax.dynamic_slice_in_dim(X, start, b, axis=0)
         y_b = jax.lax.dynamic_slice_in_dim(y, start, b, axis=0)
         return x_b, y_b
-    if mode.startswith("block"):
+    tile = _block_mode_tile(model, b, X.shape[0])
+    if tile is not None:
         # gather of b/tile random ALIGNED tile-row blocks: the same bytes
         # as the iid gather in tile-times fewer, tile-times larger HBM
         # transactions (TPU row gathers are transaction-bound; measured
         # v5e full-CAVI at the flagship shape M=64/B=4096/D=20, 2000-step
-        # scan: iid gather 13.5k, block8 15.9k, block16 24.6k, block32
-        # 25.4k, block64 29.1k vs slice 35.7k iters/s -- GATHER_MODES.json
-        # / RESULTS.md round 4).  Statistically a block bootstrap: with
-        # pre-shuffled rows the tiles are iid draws of `tile` exchangeable
-        # rows; B/tile independent blocks per batch (128 at the default)
-        # keeps the gradient-estimator variance near the iid gather's.
-        # "block" -> tile=32 (the measured speed/granularity knee);
-        # "block:<n>" picks the tile height explicitly.
-        tile = block_tile(mode)
-        if tile is not None and b % tile == 0 and X.shape[0] >= tile:
-            n_tiles = X.shape[0] // tile
-            tidx = jax.random.randint(sub, (b // tile,), 0, n_tiles)
-            x_b = jnp.take(
-                X[: n_tiles * tile].reshape(n_tiles, tile, X.shape[1]), tidx, axis=0
-            ).reshape(b, X.shape[1])
-            y_b = jnp.take(
-                y[: n_tiles * tile].reshape(n_tiles, tile), tidx, axis=0
-            ).reshape(b)
-            return x_b, y_b
+        # scan with the tile view hoisted out of the scan: iid gather
+        # 13.6k, block8 19.1k, block16 31.7k, block32 33.6k, block64
+        # 40.4k, block128 41.7k vs slice 35.7k iters/s -- block64+ BEATS
+        # slice (GATHER_MODES.json round 5).  Statistically a block
+        # bootstrap: with pre-shuffled rows the tiles are iid draws of
+        # `tile` exchangeable rows; B/tile independent blocks per batch
+        # (64 at the default) keeps the gradient-estimator variance near
+        # the iid gather's.  "block" -> tile=64 (halved to divide b);
+        # "block:<n>" picks the height.
+        Xt, yt = _tile_views(X, y, tile) if tiled is None else tiled
+        tidx = jax.random.randint(sub, (b // tile,), 0, Xt.shape[0])
+        x_b = jnp.take(Xt, tidx, axis=0).reshape(b, X.shape[1])
+        y_b = jnp.take(yt, tidx, axis=0).reshape(b)
+        return x_b, y_b
     # (Measured: pre-sorting the iid indices for gather locality LOSES ~5%
     # on v5e at B=4096 -- the sort costs more than the gather saves.)
     idx = jax.random.randint(sub, (b,), 0, X.shape[0])
     return jnp.take(X, idx, axis=0), jnp.take(y, idx, axis=0)
 
 
-def _vi_step_body(model, state: TrainState, X, y):
+def _vi_step_body(model, state: TrainState, X, y, tiled=None):
     """One CAVI iteration, including the on-device minibatch draw."""
     if model.inference.stochastic:
-        x_b, y_b = _draw_batch(model, state, X, y, state.step)
+        x_b, y_b = _draw_batch(model, state, X, y, state.step, tiled=tiled)
     else:
         x_b, y_b = X, y
     if model.inference.name in ("QuadratureVI", "MCIntegrationVI"):
@@ -150,10 +184,17 @@ def _vi_steps(model, state: TrainState, X, y, n: int):
     """n CAVI iterations fused into one on-device lax.scan -- removes the
     per-step host dispatch that dominates wall-clock for small M (the
     reference's Julia loop pays this cost every iteration)."""
+    tiled = None
+    if model.inference.stochastic:
+        tile = _block_mode_tile(model, model.inference.batchsize, X.shape[0])
+        if tile is not None:
+            # block-mode tile views hoisted OUT of the scan (see _tile_views:
+            # the in-body relayout would otherwise run every step)
+            tiled = _tile_views(X, y, tile)
 
     def body(carry, _):
         m, s = carry
-        m, s = _vi_step_body(m, s, X, y)
+        m, s = _vi_step_body(m, s, X, y, tiled=tiled)
         return (m, s), None
 
     (model, state), _ = jax.lax.scan(body, (model, state), None, length=n)

@@ -18,7 +18,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(
 import numpy as np
 
 
-def build_workload(dtype):
+def build_workload(dtype, sampling="block"):
+    """Flagship workload.  Default sampling is "block" (64-row block
+    bootstrap): BOTH the statistically honest minibatching mode (tiles of
+    pre-shuffled rows are iid 64-row samples; the round-1..4 headline's
+    "slice" mode drew correlated contiguous windows) AND the fastest
+    measured draw at this shape (40.4k vs slice 35.7k vs iid gather 13.6k
+    iters/s -- GATHER_MODES.json round 5); slice is tracked in BENCH_EXTRA
+    for cross-round continuity."""
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +44,8 @@ def build_workload(dtype):
     )
     lik = agp.LogisticLikelihood.create()
     model = agp.SVGP.create(
-        kern, lik, agp.AnalyticSVI(B, minibatch_sampling="slice"), X[:M], optimiser=None
+        kern, lik, agp.AnalyticSVI(B, minibatch_sampling=sampling), X[:M],
+        optimiser=None,
     )
     y2, tl = model.likelihood.treat_labels(y)
     model = model.replace(likelihood=tl)
@@ -146,6 +154,13 @@ def bench_extra():
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)
     rows = {}
+
+    # flagship shape with "slice" sampling (the round-1..4 headline mode):
+    # tracked so the mode switch to "block" stays comparable across rounds.
+    # CAVEAT: slice draws correlated contiguous windows -- an upper bound,
+    # not an honest iid estimator; see GATHER_MODES.json.
+    model_sl, _, X_f, y_f = build_workload(dtype, sampling="slice")
+    rows["flagship_slice_iters_per_s"] = _bench_config(model_sl, X_f, y_f, 8000, 2000)
 
     # multiclass logistic-softmax, K = 10 latents
     N, D, M, B, K = 50_000, 10, 64, 2048, 10

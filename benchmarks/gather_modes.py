@@ -83,6 +83,10 @@ def main():
     state0 = init_state(model, X, y2)
 
     def draw(mode, k, Xa, ya, step):
+        """Xa/ya are PRE-VIEWED tile arrays for block modes (the views are
+        hoisted out of the scan, matching production train.py::_vi_steps --
+        the in-body [N,D]->[T,tile,D] relayout is NOT hoisted by XLA and
+        costs up to 196 us/step at tile=32; see _tile_views)."""
         sub = jax.random.fold_in(k, step)
         if mode == "slice":
             start = jax.random.randint(sub, (), 0, N - B + 1)
@@ -93,15 +97,20 @@ def main():
             return jnp.take(Xa, idx, axis=0), jnp.take(ya, idx, axis=0)
         if mode.startswith("block"):
             n = int(mode[5:])
-            tidx = jax.random.randint(sub, (B // n,), 0, N // n)
-            xt = jnp.take(Xa.reshape(N // n, n, D), tidx, axis=0).reshape(B, D)
-            yt = jnp.take(ya.reshape(N // n, n), tidx, axis=0).reshape(B)
+            tidx = jax.random.randint(sub, (B // n,), 0, Xa.shape[0])
+            xt = jnp.take(Xa, tidx, axis=0).reshape(B, D)
+            yt = jnp.take(ya, tidx, axis=0).reshape(B)
             return xt, yt
         raise ValueError(mode)
 
     def make_scan(mode):
         @jax.jit
         def scan(model, state, Xa, ya):
+            if mode.startswith("block"):
+                n = int(mode[5:])
+                Xa = Xa[: N // n * n].reshape(N // n, n, D)
+                ya = ya[: N // n * n].reshape(N // n, n)
+
             def body(carry, _):
                 m, s = carry
                 xb, yb = draw(mode, s.key, Xa, ya, s.step)
@@ -114,7 +123,8 @@ def main():
         return scan
 
     rows = {}
-    for mode in ("slice", "gather", "block8", "block16", "block32", "block64"):
+    for mode in ("slice", "gather", "block8", "block16", "block32", "block64",
+                 "block128"):
         scan = make_scan(mode)
         t = timeit(lambda: scan(model, state0, X, y2))
         rows[mode] = {"steps_per_s": STEPS / t, "ms_per_step": t / STEPS * 1e3}
@@ -139,9 +149,14 @@ def main():
           f"{t_shuf*1e3:.1f} ms per {N//B} steps)", flush=True)
 
     # raw sampling op cost (isolate from the CAVI step)
-    for mode in ("slice", "gather", "block32"):
+    for mode in ("slice", "gather", "block32", "block64", "block128"):
         @jax.jit
         def raw(k, Xa, ya, mode=mode):
+            if mode.startswith("block"):
+                n = int(mode[5:])
+                Xa = Xa[: N // n * n].reshape(N // n, n, D)
+                ya = ya[: N // n * n].reshape(N // n, n)
+
             def body(carry, i):
                 xb, yb = draw(mode, k, Xa, ya, i)
                 return carry + jnp.sum(xb[0]) + yb[0], None

@@ -247,6 +247,44 @@ def test_online_svgp_stream(reg_data):
     assert np.isfinite(float(e))
 
 
+def test_online_train_stream_matches_per_batch(reg_data):
+    """The scan-fused pre-buffered stream driver (one device program over
+    all batches) must be bit-equivalent to threading state through
+    per-batch online_train calls -- it is the same program, scanned."""
+    X, f, y = reg_data
+
+    def mk():
+        return agp.OnlineSVGP.create(
+            agp.SqExponentialKernel(),
+            agp.GaussianLikelihood.create(0.05, opt_noise=False),
+            agp.AnalyticVI(), n_dim=2, capacity=32, optimiser=None,
+        )
+
+    B, nb = 10, 3
+    m1, s1 = mk(), None
+    for i in range(nb):
+        m1, s1 = agp.online_train(
+            m1, X[i * B : (i + 1) * B], y[i * B : (i + 1) * B],
+            state=s1, iterations=5,
+        )
+    m2, s2 = agp.online_train_stream(
+        mk(), X[: nb * B].reshape(nb, B, X.shape[1]),
+        y[: nb * B].reshape(nb, B), iterations=5,
+    )
+    np.testing.assert_array_equal(np.asarray(s1.mu), np.asarray(s2.mu))
+    np.testing.assert_array_equal(np.asarray(s1.Sigma), np.asarray(s2.Sigma))
+    np.testing.assert_array_equal(np.asarray(m1.z_mask), np.asarray(m2.z_mask))
+    # hyperopt streams per-batch only
+    with pytest.raises(ValueError):
+        agp.online_train_stream(
+            agp.OnlineSVGP.create(
+                agp.SqExponentialKernel(), agp.GaussianLikelihood.create(0.05),
+                agp.AnalyticVI(), n_dim=2, capacity=32,
+            ),
+            X[:30].reshape(3, 10, X.shape[1]), y[:30].reshape(3, 10),
+        )
+
+
 def test_generic_augmented_matches_laplace(reg_data):
     """Build Laplace via the augmodel factory: p(y|f) = 1/2 exp(-|y-f|)
     => C=1/2, g=0, alpha=y^2, beta=2y, gamma=1, phi=exp(-sqrt(r)).

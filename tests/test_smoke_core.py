@@ -227,7 +227,10 @@ def test_block_tile_parsing():
     fallback) instead of raising at trace time (round-4 advisor finding)."""
     from agp_tpu.training.train import block_tile
 
-    assert block_tile("block") == 32
+    assert block_tile("block") == 64
+    assert block_tile("block", 4096) == 64  # default tile divides b
+    assert block_tile("block", 32) == 32  # halved until it divides b
+    assert block_tile("block", 48) == 16
     assert block_tile("block:16") == 16
     assert block_tile("block:x") is None
     assert block_tile("block:0") is None
