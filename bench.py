@@ -264,7 +264,25 @@ def bench_extra():
     m2, s2 = stream_once(mo, so)
     float(jnp.sum(s2.mu))
     dt = _time.perf_counter() - t0
+    # CAVEAT: per-batch-dispatch path; on the tunneled axon backend this is
+    # dispatch-latency-bound (measured 11-95 ms/batch across sessions vs
+    # 3.7 ms of device work) -- see STREAMING.json for the attribution
     rows["online_stream_b256_cap128_pts_per_s"] = 8 * Bo / dt
+
+    # scan-fused stream (one lax.scan device program over all batches):
+    # the device-work streaming number, robust to tunnel latency
+    Xs_st = Xo[: 8 * Bo].reshape(8, Bo, 2)
+    ys_st = yo[: 8 * Bo].reshape(8, Bo)
+    for _ in range(2):
+        m3, s3 = agp.online_train_stream(mo, Xs_st[1:], ys_st[1:], state=so,
+                                         iterations=ITERS)
+    float(jnp.sum(s3.mu))
+    t0 = _time.perf_counter()
+    m3, s3 = agp.online_train_stream(mo, Xs_st[1:], ys_st[1:], state=so,
+                                     iterations=ITERS)
+    float(jnp.sum(s3.mu))
+    dt = _time.perf_counter() - t0
+    rows["online_stream_fused_b256_cap128_pts_per_s"] = 7 * Bo / dt
     return rows
 
 
