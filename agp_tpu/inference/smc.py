@@ -38,9 +38,16 @@ def smc_sample(
     n_mala: int = 5,
     mala_step: float = 0.05,
     key=None,
+    particle_sharding=None,
 ):
     """Returns posterior latent samples f [P, L, N] and the log marginal
-    likelihood estimate (a byproduct the VI paths can't give)."""
+    likelihood estimate (a byproduct the VI paths can't give).
+
+    particle_sharding: optional jax.sharding.Sharding pinning the leading
+    particle axis to a mesh axis (e.g. NamedSharding(mesh, P("data"))) --
+    the likelihood evaluations and MALA rejuvenation then run
+    particle-parallel across devices; the only collectives are the [P]
+    weight logsumexp and the resampling gather."""
     from ..config import jitter
     from ..kernels import batch_gram
     from ..means import batch_call
@@ -65,6 +72,8 @@ def smc_sample(
 
     k0, key = jax.random.split(key)
     v = jax.random.normal(k0, (n_particles, L_lat, N), dtype=mu0.dtype)
+    if particle_sharding is not None:
+        v = jax.lax.with_sharding_constraint(v, particle_sharding)
 
     def temp_step(carry, inputs):
         v, log_z = carry
