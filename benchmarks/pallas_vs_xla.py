@@ -156,7 +156,22 @@ def main():
         )
 
     with open("PALLAS_BENCH.json", "w") as fh:
-        json.dump({"backend": jax.default_backend(), "rows": rows}, fh, indent=1)
+        json.dump(
+            {
+                "backend": jax.default_backend(),
+                "caveat": (
+                    "per-call timings below ~2 ms are DISPATCH-DOMINATED in "
+                    "this tunneled axon environment -- do NOT derive "
+                    "production gates from rows whose *_ms < 2.0; the "
+                    "authoritative end-to-end gating measurements are "
+                    "GATE_AB.json (host-readback production A/B over full "
+                    "scans)"
+                ),
+                "rows": rows,
+            },
+            fh,
+            indent=1,
+        )
 
 
 if __name__ == "__main__":

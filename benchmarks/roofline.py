@@ -1,0 +1,247 @@
+"""FLOP + HBM-byte roofline accounting for the CAVI step (VERDICT r4 ask #1).
+
+For each tracked benchmark shape this script reports, per CAVI step:
+
+  * a HAND cost model of logical matmul FLOPs and MINIMUM HBM traffic
+    (each major tensor moved once per producing/consuming op -- the
+    perfect-fusion lower bound), with the per-op precision pass counts
+    (kappa runs at HIGH = 3 bf16 passes, everything else DEFAULT = 1;
+    ops/pallas_kernels.py precision policy);
+  * XLA's own cost_analysis() of the compiled 2000-step scan program
+    (logical flops + bytes accessed) as a cross-check;
+  * the measured us/step (host-readback over the full scan);
+  * the implied achieved TFLOP/s and GB/s, and the fraction of the v5e
+    peaks for each resource.  The BINDING resource is the larger fraction;
+    when both are small the step is latency/overhead-bound and the
+    separately measured per-step scan overhead + draw cost attribute the
+    rest.
+
+v5e peaks used (public: cloud.google.com/tpu/docs/v5e):
+  MXU 197 TFLOP/s bf16 (one pass; HIGH-precision f32 products cost 3
+  passes, counted in mxu_pass_flops), HBM 819 GB/s.
+
+Writes ROOFLINE.json.  Run on the chip: python benchmarks/roofline.py
+"""
+from __future__ import annotations
+
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
+)
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+PEAK_BF16 = 197e12  # FLOP/s, one MXU pass
+PEAK_HBM = 819e9  # B/s
+
+
+def _sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
+def timeit(fn, iters=5, warmup=2):
+    for _ in range(warmup):
+        out = fn()
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def workload(N, D, M, B, K=1, sampling="block"):
+    import agp_tpu as agp
+    from agp_tpu.training.train import init_state
+
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (N, D), jnp.float32)
+    if K == 1:
+        w = jax.random.normal(jax.random.PRNGKey(1), (D,), jnp.float32)
+        y = jnp.where(X @ w > 0, 1.0, -1.0)
+        lik = agp.LogisticLikelihood.create()
+    else:
+        logits = X @ jax.random.normal(jax.random.PRNGKey(1), (D, K), jnp.float32)
+        y = jnp.argmax(logits, axis=1)
+        lik = agp.LogisticSoftMaxLikelihood.create(K)
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray(2.0, jnp.float32)),
+        lik, agp.AnalyticSVI(B, minibatch_sampling=sampling), X[:M],
+        optimiser=None,
+    )
+    import numpy as np
+
+    y2, tl = m.likelihood.treat_labels(np.asarray(y))
+    m = m.replace(likelihood=tl)
+    y2 = jnp.asarray(y2, jnp.float32)
+    s = init_state(m, X, y2)
+    return m, s, X, y2
+
+
+def hand_model(B, M, D, K=1, moments_schulz_iters=4):
+    """Logical FLOPs, MXU pass-weighted FLOPs, and minimum HBM bytes for
+    one sparse CAVI step (single- or K-latent; all per-datapoint tensors
+    f32 = 4 B).  Op inventory mirrors inference/analytic_vi.py:
+      draw   gather of the minibatch                       (bytes only)
+      gram   Knm = k(X_b, Z)      2BMD x K   1 pass
+      kappa  Knm Kmm^-1           2BM^2 x K  3 passes (HIGH)
+      ktilde diag correction      ~3BM x K   VPU
+      kS     kappa Sigma          2BM^2 x K  1 pass
+      mu_f/var_f                  ~5BM x K   VPU
+      estep  likelihood locals    ~15B  x K  VPU (likelihood-dependent)
+      s1     kappa^T gmu          2BM  x K   1 pass
+      stat2  kappa^T D(gs) kappa  2BM^2 x K  1 pass
+      moments Newton-Schulz       ~(4 + 2*iters) M^3 x K   1 pass
+    """
+    f = 4  # bytes per f32
+    mm = lambda flops, passes: (flops, flops * passes)
+    ops = {
+        "gram": mm(2 * B * M * D * K, 1),
+        "kappa": mm(2 * B * M * M * K, 3),
+        "kS": mm(2 * B * M * M * K, 1),
+        "s1": mm(2 * B * M * K, 1),
+        "stat2": mm(2 * B * M * M * K, 1),
+        "moments": mm((4 + 2 * moments_schulz_iters) * M**3 * K, 1),
+        "vpu": mm((8 * B * M + 20 * B) * K, 1),
+    }
+    logical = sum(v[0] for v in ops.values())
+    passes = sum(v[1] for v in ops.values())
+    # minimum HBM traffic: batch gathered once (r+w), Knm written+read,
+    # kappa written + read 3x (ktilde, kS/var, s1/stat2 fused pass), kS
+    # written+read, per-point locals ~6 vectors, statistics + M^2 mats
+    bytes_min = f * (
+        2 * B * D  # draw r+w
+        + B * D + M * D + B * M * K  # gram in/out
+        + B * M * K  # kappa write
+        + 3 * B * M * K  # kappa reads
+        + 2 * B * M * K  # kS w+r
+        + 10 * B * K  # mu_f/var_f/y/locals traffic
+        + 6 * M * M * K  # Kinv/Sigma/stat2/eta2 mats
+    )
+    return {"logical_flops": logical, "mxu_pass_flops": passes,
+            "min_hbm_bytes": bytes_min}
+
+
+def measure(shapes):
+    from agp_tpu.training.train import _vi_steps
+
+    rows = []
+    for row in shapes:
+        name, N, D, M, B, K, steps, extra = row
+        m, s, X, y = workload(N, D, M, B, K=K)
+        t = timeit(lambda: _vi_steps(m, s, X, y, steps))
+        us = t / steps * 1e6
+        hand = hand_model(B, M, D, K=K)
+        # XLA's own accounting of the whole scan program
+        try:
+            comp = _vi_steps.lower(m, s, X, y, steps).compile()
+            ca = comp.cost_analysis() or {}
+            xla_flops = ca.get("flops", 0.0) / steps
+            xla_bytes = ca.get("bytes accessed", 0.0) / steps
+        except Exception:
+            xla_flops = xla_bytes = float("nan")
+        mxu_frac = hand["mxu_pass_flops"] / us * 1e6 / PEAK_BF16
+        hbm_frac = hand["min_hbm_bytes"] / us * 1e6 / PEAK_HBM
+        r = {
+            "shape": name, "N": N, "D": D, "M": M, "B": B, "K": K,
+            "us_per_step": us,
+            "iters_per_s": 1e6 / us,
+            "hand_logical_gflops_per_step": hand["logical_flops"] / 1e9,
+            "hand_mxu_pass_gflops_per_step": hand["mxu_pass_flops"] / 1e9,
+            "hand_min_hbm_mb_per_step": hand["min_hbm_bytes"] / 1e6,
+            "xla_logical_gflops_per_step": xla_flops / 1e9,
+            "xla_bytes_accessed_mb_per_step": xla_bytes / 1e6,
+            "achieved_tflops_logical": hand["logical_flops"] / us / 1e6,
+            "achieved_gbps_min_model": hand["min_hbm_bytes"] / us / 1e3,
+            "pct_of_mxu_peak": 100 * mxu_frac,
+            "pct_of_hbm_peak": 100 * hbm_frac,
+            "binding_resource": "hbm" if hbm_frac > mxu_frac else "mxu",
+            "binding_pct": 100 * max(mxu_frac, hbm_frac),
+        }
+        r.update(extra)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+    return rows
+
+
+def overheads():
+    """Per-step costs that are neither FLOPs nor model bytes: the scan
+    loop's fixed overhead and the minibatch draw, measured in isolation."""
+    from functools import partial
+
+    N, D, B, STEPS = 200_000, 20, 4096, 2000
+    X = jax.random.normal(jax.random.PRNGKey(0), (N, D), jnp.float32)
+    y = jnp.sign(X[:, 0])
+
+    @jax.jit
+    def empty_scan(k):
+        def body(c, i):
+            sub = jax.random.fold_in(k, i)
+            return c + jax.random.uniform(sub, ()), None
+
+        out, _ = jax.lax.scan(body, 0.0, jnp.arange(STEPS))
+        return out
+
+    t_empty = timeit(lambda: empty_scan(jax.random.PRNGKey(1)))
+
+    @jax.jit
+    def draw_scan(k, Xa, ya):
+        T = N // 64
+        Xt = Xa[: T * 64].reshape(T, 64, D)
+        yt = ya[: T * 64].reshape(T, 64)
+
+        def body(c, i):
+            sub = jax.random.fold_in(k, i)
+            tidx = jax.random.randint(sub, (B // 64,), 0, T)
+            xb = jnp.take(Xt, tidx, axis=0)
+            yb = jnp.take(yt, tidx, axis=0)
+            return c + jnp.sum(xb[0, 0]) + yb[0, 0], None
+
+        out, _ = jax.lax.scan(body, 0.0, jnp.arange(STEPS))
+        return out
+
+    t_draw = timeit(lambda: draw_scan(jax.random.PRNGKey(1), X, y))
+    return {
+        "empty_scan_us_per_step": t_empty / STEPS * 1e6,
+        "draw_block64_us_per_step": t_draw / STEPS * 1e6,
+    }
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    shapes = [
+        ("flagship_m64_b4096", 200_000, 20, 64, 4096, 1, 2000, {}),
+        ("m256_b32768", 200_000, 20, 256, 32_768, 1, 100, {}),
+        ("m512_b65536", 500_000, 20, 512, 65_536, 1, 50, {}),
+        ("multiclass_k10_m64_b2048", 50_000, 10, 64, 2048, 10, 1000, {}),
+    ]
+    rows = measure(shapes)
+    ovh = overheads()
+    print(json.dumps(ovh), flush=True)
+    out = {
+        "backend": jax.default_backend(),
+        "peaks": {"mxu_bf16_tflops": PEAK_BF16 / 1e12, "hbm_gbps": PEAK_HBM / 1e9},
+        "notes": (
+            "hand model = perfect-fusion LOWER bound on HBM traffic and "
+            "logical matmul FLOPs with per-op precision pass weighting "
+            "(kappa at HIGH = 3 bf16 passes); xla_* columns are the "
+            "compiler's own cost_analysis of the scan program, per step. "
+            "binding_pct far below 100 on small shapes means the step is "
+            "scan/draw-overhead-bound (see overheads), not resource-bound."
+        ),
+        "rows": rows,
+        "overheads": ovh,
+    }
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    with open(_os.path.join(here, "..", "ROOFLINE.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
