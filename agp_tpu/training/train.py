@@ -161,29 +161,84 @@ def _draw_batch(model, state, X, y, step, tiled=None):
     return jnp.take(X, idx, axis=0), jnp.take(y, idx, axis=0)
 
 
+def _vi_update(model, state: TrainState, x_b, y_b):
+    """Inference dispatch on an already-drawn batch."""
+    if model.inference.name in ("QuadratureVI", "MCIntegrationVI"):
+        from ..inference import numerical_vi
+
+        return numerical_vi.variational_update(model, state, x_b, y_b)
+    return analytic_vi.variational_update(model, state, x_b, y_b)
+
+
 def _vi_step_body(model, state: TrainState, X, y, tiled=None):
     """One CAVI iteration, including the on-device minibatch draw."""
     if model.inference.stochastic:
         x_b, y_b = _draw_batch(model, state, X, y, state.step, tiled=tiled)
     else:
         x_b, y_b = X, y
-    if model.inference.name in ("QuadratureVI", "MCIntegrationVI"):
-        from ..inference import numerical_vi
-
-        model, state = numerical_vi.variational_update(model, state, x_b, y_b)
-    else:
-        model, state = analytic_vi.variational_update(model, state, x_b, y_b)
+    model, state = _vi_update(model, state, x_b, y_b)
     return model, state.replace(step=state.step + 1)
 
 
 _vi_step = jax.jit(_vi_step_body)
 
 
+def _precomputed_draws(model, state, X, n: int):
+    """All n minibatch draws of a scan chunk, computed in ONE vectorized
+    RNG pass before the scan.
+
+    The per-step body RNG (fold_in + randint) is a SERIAL dependency chain
+    of small threefry ops that costs ~7.5 us/step on v5e -- 30% of the
+    flagship step.  vmapping the same fold_in(key, step)+randint over the
+    chunk's step indices produces BIT-IDENTICAL indices (same ops, same
+    counters) as one large parallel RNG op amortized to noise, and the scan
+    then consumes its row per step as a scanned input.  Returns (mode,
+    index array [n, ...]) or (None, None) when the draw is not
+    precomputable (non-stochastic)."""
+    if not model.inference.stochastic:
+        return None, None
+    b = model.inference.batchsize
+    mode = getattr(model.inference, "minibatch_sampling", "gather")
+    steps_i = state.step + jnp.arange(n, dtype=state.step.dtype)
+    subs = jax.vmap(lambda i: jax.random.fold_in(state.key, i))(steps_i)
+    if mode == "slice":
+        starts = jax.vmap(
+            lambda k: jax.random.randint(k, (), 0, X.shape[0] - b + 1)
+        )(subs)
+        return "slice", starts
+    tile = _block_mode_tile(model, b, X.shape[0])
+    if tile is not None:
+        T = X.shape[0] // tile
+        tidx = jax.vmap(lambda k: jax.random.randint(k, (b // tile,), 0, T))(subs)
+        return "block", tidx
+    idx = jax.vmap(lambda k: jax.random.randint(k, (b,), 0, X.shape[0]))(subs)
+    return "gather", idx
+
+
+def _draw_from_idx(model, X, y, tiled, mode, idx):
+    """Materialize one precomputed draw (see _precomputed_draws)."""
+    b = model.inference.batchsize
+    if mode == "slice":
+        return (
+            jax.lax.dynamic_slice_in_dim(X, idx, b, axis=0),
+            jax.lax.dynamic_slice_in_dim(y, idx, b, axis=0),
+        )
+    if mode == "block":
+        Xt, yt = tiled
+        return (
+            jnp.take(Xt, idx, axis=0).reshape(b, X.shape[1]),
+            jnp.take(yt, idx, axis=0).reshape(b),
+        )
+    return jnp.take(X, idx, axis=0), jnp.take(y, idx, axis=0)
+
+
 @partial(jax.jit, static_argnums=(4,))
 def _vi_steps(model, state: TrainState, X, y, n: int):
     """n CAVI iterations fused into one on-device lax.scan -- removes the
     per-step host dispatch that dominates wall-clock for small M (the
-    reference's Julia loop pays this cost every iteration)."""
+    reference's Julia loop pays this cost every iteration).  The minibatch
+    RNG is hoisted out of the scan (_precomputed_draws), as are the
+    block-mode tile views (_tile_views)."""
     tiled = None
     if model.inference.stochastic:
         tile = _block_mode_tile(model, model.inference.batchsize, X.shape[0])
@@ -191,13 +246,19 @@ def _vi_steps(model, state: TrainState, X, y, n: int):
             # block-mode tile views hoisted OUT of the scan (see _tile_views:
             # the in-body relayout would otherwise run every step)
             tiled = _tile_views(X, y, tile)
+    mode, idx_all = _precomputed_draws(model, state, X, n)
 
-    def body(carry, _):
+    def body(carry, idx):
         m, s = carry
-        m, s = _vi_step_body(m, s, X, y, tiled=tiled)
+        if mode is None:
+            m, s = _vi_step_body(m, s, X, y, tiled=tiled)
+        else:
+            x_b, y_b = _draw_from_idx(m, X, y, tiled, mode, idx)
+            m, s = _vi_update(m, s, x_b, y_b)
+            s = s.replace(step=s.step + 1)
         return (m, s), None
 
-    (model, state), _ = jax.lax.scan(body, (model, state), None, length=n)
+    (model, state), _ = jax.lax.scan(body, (model, state), idx_all, length=n)
     return model, state
 
 

@@ -222,6 +222,35 @@ def test_svgp_slice_sampling_converges():
     assert err < 0.35
 
 
+@pytest.mark.parametrize("mode", ["gather", "slice", "block", "block:8"])
+def test_scan_precomputed_draws_match_per_step(mode):
+    """The fused-scan driver precomputes all minibatch indices in one
+    vectorized RNG pass before the scan (train.py::_precomputed_draws);
+    indices must be BIT-identical to the per-step fold_in draws, so the
+    two drivers produce the same trajectory to compilation roundoff."""
+    from agp_tpu.training.train import _vi_step, _vi_steps, init_state
+
+    kern = agp.SqExponentialKernel()
+    X = jax.random.normal(jax.random.PRNGKey(0), (512, 3), jnp.float64)
+    y = np.asarray(jnp.sign(X[:, 0]))
+    m = agp.SVGP.create(
+        kern, agp.LogisticLikelihood.create(),
+        agp.AnalyticSVI(64, minibatch_sampling=mode), X[:16], optimiser=None,
+    )
+    y2, tl = m.likelihood.treat_labels(y)
+    m = m.replace(likelihood=tl)
+    y2 = jnp.asarray(y2, jnp.float64)
+    s0 = init_state(m, X, y2)
+    m1, s1 = m, s0
+    for _ in range(7):
+        m1, s1 = _vi_step(m1, s1, X, y2)
+    m2, s2 = _vi_steps(m, s0, X, y2, 7)
+    assert int(s2.step) == 7
+    np.testing.assert_allclose(
+        np.asarray(s1.mu), np.asarray(s2.mu), rtol=0, atol=1e-12
+    )
+
+
 def test_block_tile_parsing():
     """Malformed or non-positive "block:<n>" suffixes yield None (iid-gather
     fallback) instead of raising at trace time (round-4 advisor finding)."""
