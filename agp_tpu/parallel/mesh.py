@@ -277,7 +277,9 @@ def _local_draw(n_dev: int, batch_per_device: int, n_pad: int, axis_name: str,
                     xt = jnp.take(xs, tidx, axis=0).reshape(
                         batch_per_device, xs.shape[-1]
                     )
-                    yt = jnp.take(ys, tidx, axis=0).reshape(batch_per_device)
+                    yt = jnp.take(ys, tidx, axis=0).reshape(
+                        (batch_per_device,) + ys.shape[2:]
+                    )
                     return xt, yt
                 if xs.shape[0] - n_pad >= tile:
                     n_t = xs.shape[0] // tile
@@ -289,8 +291,9 @@ def _local_draw(n_dev: int, batch_per_device: int, n_pad: int, axis_name: str,
                         tidx, axis=0,
                     ).reshape(batch_per_device, xs.shape[1])
                     yt = jnp.take(
-                        ys[: n_t * tile].reshape(n_t, tile), tidx, axis=0
-                    ).reshape(batch_per_device)
+                        ys[: n_t * tile].reshape((n_t, tile) + ys.shape[1:]),
+                        tidx, axis=0,
+                    ).reshape((batch_per_device,) + ys.shape[1:])
                     return xt, yt
         idx = jax.random.randint(k, (batch_per_device,), 0, hi)
         return jnp.take(xs, idx, axis=0), jnp.take(ys, idx, axis=0)
@@ -513,7 +516,7 @@ def build_svi_trainer(
                 jax.shard_map(
                     lambda a, b: (
                         a.reshape(-1, tile, a.shape[-1]),
-                        b.reshape(-1, tile),
+                        b.reshape((-1, tile) + b.shape[1:]),
                     ),
                     mesh=mesh, in_specs=(P(ax), P(ax)), out_specs=(P(ax), P(ax)),
                 )

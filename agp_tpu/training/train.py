@@ -107,7 +107,9 @@ def _tile_views(X, y, tile):
     n_tiles = X.shape[0] // tile
     return (
         X[: n_tiles * tile].reshape(n_tiles, tile, X.shape[1]),
-        y[: n_tiles * tile].reshape(n_tiles, tile),
+        # y keeps its trailing dims (multiclass one-hot [N, K],
+        # heteroscedastic [N] -- any per-row label layout)
+        y[: n_tiles * tile].reshape((n_tiles, tile) + y.shape[1:]),
     )
 
 
@@ -153,7 +155,7 @@ def _draw_batch(model, state, X, y, step, tiled=None):
         Xt, yt = _tile_views(X, y, tile) if tiled is None else tiled
         tidx = jax.random.randint(sub, (b // tile,), 0, Xt.shape[0])
         x_b = jnp.take(Xt, tidx, axis=0).reshape(b, X.shape[1])
-        y_b = jnp.take(yt, tidx, axis=0).reshape(b)
+        y_b = jnp.take(yt, tidx, axis=0).reshape((b,) + y.shape[1:])
         return x_b, y_b
     # (Measured: pre-sorting the iid indices for gather locality LOSES ~5%
     # on v5e at B=4096 -- the sort costs more than the gather saves.)
@@ -227,7 +229,7 @@ def _draw_from_idx(model, X, y, tiled, mode, idx):
         Xt, yt = tiled
         return (
             jnp.take(Xt, idx, axis=0).reshape(b, X.shape[1]),
-            jnp.take(yt, idx, axis=0).reshape(b),
+            jnp.take(yt, idx, axis=0).reshape((b,) + y.shape[1:]),
         )
     return jnp.take(X, idx, axis=0), jnp.take(y, idx, axis=0)
 

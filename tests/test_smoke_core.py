@@ -251,6 +251,29 @@ def test_scan_precomputed_draws_match_per_step(mode):
     )
 
 
+def test_block_sampling_multiclass_one_hot_labels():
+    """Block mode must handle labels with trailing dims (multiclass one-hot
+    [N, K]) -- round-5 regression: the tile view reshaped y assuming 1-D."""
+    from agp_tpu.training.train import _vi_steps, init_state
+
+    X = jax.random.normal(jax.random.PRNGKey(0), (256, 3), jnp.float64)
+    y = np.asarray(
+        jnp.argmin(
+            jnp.sum((X[:, None, :2] - jnp.eye(2)[None] * 1.5) ** 2, -1), axis=1
+        )
+    )
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticSoftMaxLikelihood.create(2),
+        agp.AnalyticSVI(64, minibatch_sampling="block"), X[:12], optimiser=None,
+    )
+    y2, tl = m.likelihood.treat_labels(y)
+    m = m.replace(likelihood=tl)
+    y2 = jnp.asarray(y2, jnp.float64)
+    s0 = init_state(m, X, y2)
+    m2, s2 = _vi_steps(m, s0, X, y2, 10)
+    assert bool(jnp.all(jnp.isfinite(s2.mu)))
+
+
 def test_block_tile_parsing():
     """Malformed or non-positive "block:<n>" suffixes yield None (iid-gather
     fallback) instead of raising at trace time (round-4 advisor finding)."""
