@@ -223,80 +223,127 @@ def mo_sharded_train(
 
 
 # -------------------------------------------------------minibatched (SVI)
-def _local_draw(n_dev: int, batch_per_device: int, n_pad: int, axis_name: str,
-                mode: str = "gather"):
-    """Per-device minibatch draw body (runs under shard_map on the local X
-    shard; per-device folded PRNG keys -- no cross-device gather, the
-    design SURVEY.md section 7 calls out for >=80% scaling: zero per-step
-    host->device or cross-device data movement).  Padding lives at the end
-    of the LAST shard; that device draws indices below its valid count, so
-    pad rows are never sampled.
+def _local_parts(n_dev: int, batch_per_device: int, n_pad: int, axis_name: str,
+                 mode: str = "gather"):
+    """Per-device (index-generation, gather) pair for the minibatch draw
+    (both run under shard_map on the local X shard; per-device folded PRNG
+    keys -- no cross-device gather, the design SURVEY.md section 7 calls
+    out for >=80% scaling: zero per-step host->device or cross-device data
+    movement).  Padding lives at the end of the LAST shard; that device
+    draws indices below its valid count, so pad rows are never sampled.
+
+    Split so the scan driver can HOIST the RNG out of the step scan
+    (train.py::_precomputed_draws rationale: the per-step fold_in+randint
+    serial threefry chain costs ~7.5 us/step on v5e): `gen(xs, ks)`
+    produces the per-device index rows for a whole chunk of steps in one
+    vectorized pass, `take(xs, ys, idx)` materializes one step's batch.
 
     mode="slice" draws one contiguous window per device instead of iid
     indices -- the same trade the single-chip trainer offers
     (training/train.py::_draw_batch): correlated batches for a sequential
     HBM read instead of a random-access gather."""
+    from ..training.train import block_tile
 
-    def draw(xs, ys, key):
-        dev = jax.lax.axis_index(axis_name)
-        k = jax.random.fold_in(key, dev)
+    def _block_tile_for(xs):
+        # block applies when the tile divides the per-device batch AND the
+        # padded LAST shard keeps >= 1 whole valid tile (else hi // tile
+        # == 0 would make randint's range empty -- undefined under jit)
+        if not mode.startswith("block"):
+            return None
+        tile = block_tile(mode, batch_per_device)
+        if tile is None or batch_per_device % tile:
+            return None
+        if xs.ndim == 3:  # pre-tiled by build_svi_trainer
+            return tile
+        return tile if xs.shape[0] - n_pad >= tile else None
+
+    def _hi_rows(xs, dev):
         if n_pad:
-            hi = xs.shape[0] - jnp.where(dev == n_dev - 1, n_pad, 0)
-        else:
-            hi = xs.shape[0]  # static bound: no pad rows anywhere
+            return xs.shape[0] - jnp.where(dev == n_dev - 1, n_pad, 0)
+        return xs.shape[0]  # static bound: no pad rows anywhere
+
+    def gen(xs, ks):
+        """Index rows for len(ks) steps: ks [n] step keys (replicated);
+        returns [n, cnt] per-device indices (cnt: 1 slice / b//tile block /
+        b gather)."""
+        dev = jax.lax.axis_index(axis_name)
+        ks = jax.vmap(lambda s: jax.random.fold_in(s, dev))(ks)
+        tile = _block_tile_for(xs)
         if mode == "slice":
-            start = jax.random.randint(k, (), 0, hi - batch_per_device + 1)
+            hi = _hi_rows(xs, dev)
+            return jax.vmap(
+                lambda k: jax.random.randint(
+                    k, (1,), 0, hi - batch_per_device + 1
+                )
+            )(ks)
+        if tile is not None:
+            if xs.ndim == 3:
+                # the dynamic valid-tile bound rounds down to whole tiles,
+                # so up to tile-1 tail rows of the padded shard are never
+                # sampled -- same class as the pad-row exclusion
+                cut = -(-n_pad // tile)  # whole tiles lost to padding
+                hi_t = (
+                    xs.shape[0] - jnp.where(dev == n_dev - 1, cut, 0)
+                    if n_pad else xs.shape[0]
+                )
+            else:
+                hi_t = _hi_rows(xs, dev) // tile
+            return jax.vmap(
+                lambda k: jax.random.randint(
+                    k, (batch_per_device // tile,), 0, hi_t
+                )
+            )(ks)
+        hi = _hi_rows(xs, dev)
+        return jax.vmap(
+            lambda k: jax.random.randint(k, (batch_per_device,), 0, hi)
+        )(ks)
+
+    def take(xs, ys, idx):
+        """One step's batch from its precomputed per-device index row."""
+        tile = _block_tile_for(xs)
+        if mode == "slice":
+            start = idx[0]
             return (
                 jax.lax.dynamic_slice_in_dim(xs, start, batch_per_device, 0),
                 jax.lax.dynamic_slice_in_dim(ys, start, batch_per_device, 0),
             )
-        if mode.startswith("block"):
-            # aligned n-row tiles per device (training/train.py block mode);
-            # the dynamic valid-row bound rounds down to whole tiles, so up
-            # to n-1 tail rows of the padded shard are never sampled --
-            # same class as the pad-row exclusion.  The padded LAST shard
-            # must keep >= 1 whole valid tile (shard_size - n_pad >= tile,
-            # static), else hi // tile == 0 there would make randint's
-            # range empty -- undefined values under jit that could sample
-            # pad rows; fall back to the iid gather instead.
-            from ..training.train import block_tile
-
-            tile = block_tile(mode, batch_per_device)
-            if tile is not None and batch_per_device % tile == 0:
-                if xs.ndim == 3:
-                    # PRE-TILED [T, tile, D]/[T, tile] shard views
-                    # (build_svi_trainer hoists the relayout out of the
-                    # whole run; the in-scan reshape costs up to ~200
-                    # us/step on v5e -- see training/train.py::_tile_views)
-                    cut = -(-n_pad // tile)  # whole tiles lost to padding
-                    hi_t = xs.shape[0] - jnp.where(dev == n_dev - 1, cut, 0) \
-                        if n_pad else xs.shape[0]
-                    tidx = jax.random.randint(
-                        k, (batch_per_device // tile,), 0, hi_t
-                    )
-                    xt = jnp.take(xs, tidx, axis=0).reshape(
-                        batch_per_device, xs.shape[-1]
-                    )
-                    yt = jnp.take(ys, tidx, axis=0).reshape(
-                        (batch_per_device,) + ys.shape[2:]
-                    )
-                    return xt, yt
-                if xs.shape[0] - n_pad >= tile:
-                    n_t = xs.shape[0] // tile
-                    tidx = jax.random.randint(
-                        k, (batch_per_device // tile,), 0, hi // tile
-                    )
-                    xt = jnp.take(
-                        xs[: n_t * tile].reshape(n_t, tile, xs.shape[1]),
-                        tidx, axis=0,
-                    ).reshape(batch_per_device, xs.shape[1])
-                    yt = jnp.take(
-                        ys[: n_t * tile].reshape((n_t, tile) + ys.shape[1:]),
-                        tidx, axis=0,
-                    ).reshape((batch_per_device,) + ys.shape[1:])
-                    return xt, yt
-        idx = jax.random.randint(k, (batch_per_device,), 0, hi)
+        if tile is not None:
+            if xs.ndim == 3:
+                # PRE-TILED [T, tile, D]/[T, tile] shard views
+                # (build_svi_trainer hoists the relayout out of the whole
+                # run; the in-scan reshape costs up to ~200 us/step on
+                # v5e -- see training/train.py::_tile_views)
+                xt = jnp.take(xs, idx, axis=0).reshape(
+                    batch_per_device, xs.shape[-1]
+                )
+                yt = jnp.take(ys, idx, axis=0).reshape(
+                    (batch_per_device,) + ys.shape[2:]
+                )
+                return xt, yt
+            n_t = xs.shape[0] // tile
+            xt = jnp.take(
+                xs[: n_t * tile].reshape(n_t, tile, xs.shape[1]), idx, axis=0
+            ).reshape(batch_per_device, xs.shape[1])
+            yt = jnp.take(
+                ys[: n_t * tile].reshape((n_t, tile) + ys.shape[1:]),
+                idx, axis=0,
+            ).reshape((batch_per_device,) + ys.shape[1:])
+            return xt, yt
         return jnp.take(xs, idx, axis=0), jnp.take(ys, idx, axis=0)
+
+    return gen, take
+
+
+def _local_draw(n_dev: int, batch_per_device: int, n_pad: int, axis_name: str,
+                mode: str = "gather"):
+    """Single-step per-device draw (legacy per-step-RNG form): the
+    composition of `_local_parts` -- identical indices to the hoisted
+    path (same fold_in chain)."""
+    gen, take = _local_parts(n_dev, batch_per_device, n_pad, axis_name, mode)
+
+    def draw(xs, ys, key):
+        idx = gen(xs, key[None])[0]
+        return take(xs, ys, idx)
 
     return draw
 
@@ -306,6 +353,38 @@ def _make_draw(mesh: Mesh, batch_per_device: int, n_pad: int, axis_name: str,
     draw = _local_draw(mesh.devices.size, batch_per_device, n_pad, axis_name, mode)
     P_ = P(axis_name)
     return jax.shard_map(draw, mesh=mesh, in_specs=(P_, P_, P()), out_specs=(P_, P_))
+
+
+def _make_idx_gen(mesh: Mesh, batch_per_device: int, n_pad: int,
+                  axis_name: str, mode: str = "gather"):
+    """Chunk index generator: (X, key, step0, n) -> [n, n_dev * cnt]
+    (sharded over the device axis on dim 1), with indices BIT-identical to
+    the per-step `_make_draw` path (same fold_in(fold_in(key, step), dev)
+    chain, vmapped over the chunk)."""
+    gen, _ = _local_parts(mesh.devices.size, batch_per_device, n_pad,
+                          axis_name, mode)
+    sm = jax.shard_map(
+        gen, mesh=mesh, in_specs=(P(axis_name), P()),
+        out_specs=P(None, axis_name),
+    )
+
+    def gen_idx(X, key, step0, n):
+        subs = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            step0 + jnp.arange(n, dtype=step0.dtype)
+        )
+        return sm(X, subs)
+
+    return gen_idx
+
+
+def _make_take(mesh: Mesh, batch_per_device: int, n_pad: int, axis_name: str,
+               mode: str = "gather"):
+    _, take = _local_parts(mesh.devices.size, batch_per_device, n_pad,
+                           axis_name, mode)
+    P_ = P(axis_name)
+    return jax.shard_map(
+        take, mesh=mesh, in_specs=(P_, P_, P(axis_name)), out_specs=(P_, P_)
+    )
 
 
 def sharded_svi_step(
@@ -320,6 +399,7 @@ def sharded_svi_step(
     from ..inference.analytic_vi import pallas_override, variational_update
 
     draw_sharded = _make_draw(mesh, batch_per_device, n_pad, axis_name, sampling)
+    take_sharded = _make_take(mesh, batch_per_device, n_pad, axis_name, sampling)
 
     def step_body(model, state, X, y):
         # key folded with the step counter (the single-chip trainer's
@@ -333,8 +413,18 @@ def sharded_svi_step(
             model, state = variational_update(model, state, x_b, y_b)
         return model, state.replace(step=state.step + 1)
 
+    def body_idx(model, state, X, y, idx):
+        """Step on a PRECOMPUTED per-device index row (the scan driver
+        hoists the draw RNG out of the scan; same indices as step_body)."""
+        x_b, y_b = take_sharded(X, y, idx)
+        with pallas_override("off"):
+            model, state = variational_update(model, state, x_b, y_b)
+        return model, state.replace(step=state.step + 1)
+
     step = jax.jit(step_body)
     step.body = step_body  # for the scan-fused driver
+    step.body_idx = body_idx
+    step.gen_idx = _make_idx_gen(mesh, batch_per_device, n_pad, axis_name, sampling)
     return step
 
 
@@ -377,10 +467,16 @@ def sharded_fused_svi_step(
         )
     kind, lik_name, _, _, c_key = spec
     P_ = P(axis_name)
-    draw = _local_draw(mesh.devices.size, batch_per_device, n_pad, axis_name, sampling)
+    gen_local, take_local = _local_parts(
+        mesh.devices.size, batch_per_device, n_pad, axis_name, sampling
+    )
 
-    def local_stats(model, state, xs, ys, key):
-        x_b, y_b = draw(xs, ys, key)
+    def _local_stats(model, state, xs, ys, key_or_idx, *, pre):
+        if pre:  # precomputed per-device index row (RNG hoisted by the
+            # scan driver); else a per-step key (single-step API)
+            x_b, y_b = take_local(xs, ys, key_or_idx)
+        else:
+            x_b, y_b = take_local(xs, ys, gen_local(xs, key_or_idx[None])[0])
         with pallas_override("on"):
             _, _, p0, p1, _ = _pallas_fused_spec(model)  # traced lik params
         xs_b, zs, ls = _fused_scaled_inputs(model, x_b)
@@ -408,20 +504,25 @@ def sharded_fused_svi_step(
         S2 = jax.lax.psum(S2, axis_name).astype(x_b.dtype)
         return s1, S2, c, theta
 
+    # pallas_call's out_shapes carry no varying-mesh-axes annotation; the
+    # specs state the facts (stats replicated post-psum, local vars
+    # sharded), so skip the vma check.
     stats_sharded = jax.shard_map(
-        local_stats,
+        partial(_local_stats, pre=False),
         mesh=mesh,
         in_specs=(P(), P(), P_, P_, P()),
         out_specs=(P(), P(), P_, P_),
-        # pallas_call's out_shapes carry no varying-mesh-axes annotation;
-        # the specs above state the facts (stats replicated post-psum,
-        # local vars sharded), so skip the vma check.
+        check_vma=False,
+    )
+    stats_sharded_idx = jax.shard_map(
+        partial(_local_stats, pre=True),
+        mesh=mesh,
+        in_specs=(P(), P(), P_, P_, P(axis_name)),
+        out_specs=(P(), P(), P_, P_),
         check_vma=False,
     )
 
-    def step_body(model, state, X, y):
-        sub = jax.random.fold_in(state.key, state.step)
-        s1, S2, c, theta = stats_sharded(model, state, X, y, sub)
+    def _finish(model, state, X, s1, S2, c, theta):
         local = dict(state.local_vars)
         local["theta"] = theta.astype(X.dtype)
         if c_key is not None and c_key in local:
@@ -432,13 +533,51 @@ def sharded_fused_svi_step(
         )
         return model, state.replace(step=state.step + 1)
 
+    def step_body(model, state, X, y):
+        sub = jax.random.fold_in(state.key, state.step)
+        s1, S2, c, theta = stats_sharded(model, state, X, y, sub)
+        return _finish(model, state, X, s1, S2, c, theta)
+
+    def body_idx(model, state, X, y, idx):
+        s1, S2, c, theta = stats_sharded_idx(model, state, X, y, idx)
+        return _finish(model, state, X, s1, S2, c, theta)
+
     step = jax.jit(step_body)
     step.body = step_body
+    step.body_idx = body_idx
+    step.gen_idx = _make_idx_gen(mesh, batch_per_device, n_pad, axis_name, sampling)
     return step
 
 
-def _make_svi_steps(step_body):
-    """Scan-fuse an SVI step body into a chunked multi-step dispatch."""
+def _make_svi_steps(step_or_body):
+    """Scan-fuse an SVI step body into a chunked multi-step dispatch.
+
+    When given a step object carrying (body_idx, gen_idx) -- what
+    sharded_svi_step / sharded_fused_svi_step return -- the chunk's draw
+    indices are precomputed in ONE vectorized RNG pass before the scan
+    (bit-identical to the per-step fold; train.py::_precomputed_draws
+    rationale: the in-body serial threefry chain costs ~7.5 us/step on
+    v5e).  A bare body function gets the legacy per-step-RNG scan."""
+    body_idx = getattr(step_or_body, "body_idx", None)
+    gen_idx = getattr(step_or_body, "gen_idx", None)
+    step_body = getattr(step_or_body, "body", step_or_body)
+
+    if body_idx is not None and gen_idx is not None:
+
+        @partial(jax.jit, static_argnums=(4,))
+        def steps(model, state, X, y, n: int):
+            idx_all = gen_idx(X, state.key, state.step, n)
+
+            def body(carry, idx):
+                m, s = carry
+                return body_idx(m, s, X, y, idx), None
+
+            (model, state), _ = jax.lax.scan(
+                body, (model, state), idx_all, length=n
+            )
+            return model, state
+
+        return steps
 
     @partial(jax.jit, static_argnums=(4,))
     def steps(model, state, X, y, n: int):
@@ -527,7 +666,7 @@ def build_svi_trainer(
                                       sampling=sampling)
     else:
         step = sharded_svi_step(mesh, batch_per_device, n_pad, sampling=sampling)
-    steps = _make_svi_steps(step.body)
+    steps = _make_svi_steps(step)
     model, state = replicate(mesh, (model, state))
     return steps, model, state, Xs, ys
 

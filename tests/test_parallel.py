@@ -384,6 +384,7 @@ def test_sharded_svi_scan_chunks_match_per_step():
     for _ in range(7):
         ms, ss = step(ms, ss, Xs, ys)
 
+    # legacy in-body-RNG scan driver
     steps = _make_svi_steps(step.body)
     mc, sc = steps(m_r, state_r, Xs, ys, 3)
     mc, sc = steps(mc, sc, Xs, ys, 4)
@@ -391,6 +392,15 @@ def test_sharded_svi_scan_chunks_match_per_step():
     np.testing.assert_allclose(np.asarray(ss.mu), np.asarray(sc.mu), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(ss.Sigma), np.asarray(sc.Sigma), rtol=1e-12)
     assert int(ss.step) == int(sc.step) == 7
+
+    # hoisted-RNG scan driver (precomputed per-device index rows): must
+    # draw bit-identical indices (same fold_in(fold_in(key, step), dev))
+    steps_h = _make_svi_steps(step)
+    mh, sh = steps_h(m_r, state_r, Xs, ys, 3)
+    mh, sh = steps_h(mh, sh, Xs, ys, 4)
+    np.testing.assert_allclose(np.asarray(ss.mu), np.asarray(sh.mu), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ss.Sigma), np.asarray(sh.Sigma), rtol=1e-12)
+    assert int(sh.step) == 7
 
 
 @pytest.mark.parametrize("sampling", ["slice", "block:16"])
