@@ -174,21 +174,23 @@ def _pallas_kind(model):
     latent_moments consumer -- including NumericalVI's d1/d2 contractions
     (the round-3 advisor finding) -- reads the third output safely.
 
-    Shape policy (round-4 direct-kappa kernels, measured end-to-end on v5e
-    with host-readback timing -- GATE_AB.json, benchmarks/gate_ab.py):
-    the fused step wins 1.17x (logistic) / 1.31x (studentt) at
-    M=512/B=65536, is a wash (0.99x) at M=512/B=32768 and loses at
-    M=512/B=8192 (0.95x) and M=256/B=32768 (0.81x).  Auto: on for
-    M >= 512 AND stochastic per-step batch > 32768.  Full-batch sparse
-    AnalyticVI (stochastic=False, batchsize=0 -- config.py) gates on M
-    alone: its per-step B is N, usually beyond the measured win region."""
+    Shape policy (round-5 TRANSPOSED fused kernel -- the [M, TB] layout
+    with the batch on the lane axis; measured end-to-end on v5e with
+    host-readback timing, GATE_AB.json / benchmarks/gate_ab.py): the
+    fused step now wins at EVERY measured single-latent shape -- 1.10x at
+    the flagship M=64/B=4096, 1.05x M=128/B=32768, 1.09-1.22x M=256,
+    1.08-1.46x M=512 (1.59x studentt).  Auto: on for M >= 64 AND
+    (stochastic per-step batch >= 4096, the smallest measured win shape,
+    or full batch -- stochastic=False, batchsize=0, per-step B=N).
+    Below those, unmeasured territory where tile padding (tile_b=1024)
+    wastes compute: XLA path."""
     if not _pallas_enabled(model) or model.n_latent != 1:
         return None
     if _pallas_forced() != "on":
-        if getattr(model, "n_inducing", 0) < 512:
+        if getattr(model, "n_inducing", 0) < 64:
             return None
         inf = model.inference
-        if getattr(inf, "stochastic", False) and inf.batchsize <= 32768:
+        if getattr(inf, "stochastic", False) and inf.batchsize < 4096:
             return None
     return _PALLAS_KINDS.get(type(model.kernel).__name__)
 

@@ -55,7 +55,11 @@ def main():
         ("logistic", 512, 65536, 600, 200),
         ("logistic", 512, 32768, 1200, 400),
         ("logistic", 512, 8192, 2000, 500),
+        ("logistic", 256, 65536, 600, 200),
         ("logistic", 256, 32768, 1200, 400),
+        ("logistic", 256, 8192, 2000, 500),
+        ("logistic", 128, 32768, 1200, 400),
+        ("logistic", 64, 4096, 8000, 2000),
         ("studentt", 512, 65536, 600, 200),
         ("multiclass", 512, 8192, 1200, 400),
         ("multiclass", 512, 32768, 600, 200),

@@ -548,14 +548,17 @@ def test_auto_gate_full_batch_uses_m_alone(monkeypatch):
             optimiser=None,
         )
 
-    # full batch, M >= 512: tier ON (gates on M alone)
+    # full batch: tier ON (gates on M alone; round-5 transposed kernel
+    # wins at every measured shape M >= 64)
     assert analytic_vi._pallas_kind(mk(agp.AnalyticVI())) == "rbf"
-    # stochastic below the measured win region: OFF
-    assert analytic_vi._pallas_kind(mk(agp.AnalyticSVI(4096))) is None
-    # stochastic above it: ON
+    assert analytic_vi._pallas_kind(mk(agp.AnalyticVI(), M=64)) == "rbf"
+    # stochastic below the smallest measured win batch: OFF
+    assert analytic_vi._pallas_kind(mk(agp.AnalyticSVI(2048))) is None
+    # stochastic at/above it: ON
+    assert analytic_vi._pallas_kind(mk(agp.AnalyticSVI(4096))) == "rbf"
     assert analytic_vi._pallas_kind(mk(agp.AnalyticSVI(65536))) == "rbf"
-    # M below the knee: OFF regardless
-    assert analytic_vi._pallas_kind(mk(agp.AnalyticVI(), M=64)) is None
+    # M below the measured region: OFF regardless
+    assert analytic_vi._pallas_kind(mk(agp.AnalyticVI(), M=32)) is None
 
     # batched (multi-latent) tier: same sentinel handling at its own knee
     def mk_mc(inference, M=520):
