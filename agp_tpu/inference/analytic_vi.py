@@ -229,9 +229,12 @@ def _pallas_kind_batched(model):
     grid dimension (ops/pallas_kernels.py::fused_kappa_moments_batched /
     cavi_stats_batched).
 
-    Measured v5e win region (round-4 direct-kappa kernels, host-readback
-    production A/B -- GATE_AB.json): K=3 logistic-softmax 1.28x at
-    M=512/B=32768, 0.95x at M=512/B=8192.  Auto: on for M >= 512 AND
+    Measured v5e win region (round-5 TRANSPOSED batched kernels,
+    host-readback production A/B -- GATE_AB.json): K=3 logistic-softmax
+    1.42x at M=512/B=32768, 1.00x at M=512/B=8192, a wash at M=256
+    (0.99-1.03x) and a loss at M=64 (0.68-0.75x, K=10) -- the batched
+    tier's kappa round-trip to HBM (the E-step couples latents XLA-side)
+    needs the M >= 512 compute density.  Auto: on for M >= 512 AND
     stochastic per-step batch >= 16384 (full-batch AnalyticVI,
     stochastic=False with batchsize=0, gates on M alone -- per-step B=N)."""
     if not _pallas_enabled(model) or model.n_latent <= 1:

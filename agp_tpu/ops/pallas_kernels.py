@@ -277,37 +277,68 @@ def _fused_kappa_impl(X, Z, L_invT, lengthscale, variance, jitt, kind, tile_b):
 
 # --------------------------------------- batched (multi-latent) kappa+moments
 def _kappa_moments_batched_kernel(
-    x_ref, z_ref, kinv_ref, mu_ref, sigma_ref, ls_ref, params_ref,
-    kappa_ref, mf_ref, vf_ref, *, kind,
+    xT_ref, z_ref, kinv_ref, mu_ref, sigma_ref, ls_ref, ls_col_ref,
+    params_ref, kappa_ref, mf_ref, vf_ref, *, kind,
 ):
     """Grid (L, B-tiles): one latent GP x one minibatch tile per step.
-    gram -> W -> (kappa, Ktilde) -> mean_f/var_f in one VMEM-resident pass;
-    Knm and W never reach HBM.  kappa IS written out (the E-step couples
-    latents -- e.g. the logistic-softmax inner fixed point sums over
-    classes -- so the statistics contraction needs kappa again after an XLA
-    elementwise stage; see `cavi_stats_batched`).
+    gram -> kappa -> Ktilde -> mean_f/var_f in one VMEM-resident pass; Knm
+    never reaches HBM.  kappa IS written out (the E-step couples latents --
+    e.g. the logistic-softmax inner fixed point sums over classes -- so the
+    statistics contraction needs kappa again after an XLA elementwise
+    stage; see `cavi_stats_batched`).
 
-    ls_ref is the per-latent [1, 1, D] lengthscale block in VMEM (isotropic
-    lengthscales arrive broadcast to [L, 1, D], so per-latent ARD folds into
-    the coordinates in-kernel -- the analog of the single-latent tier's
-    `_fused_scaled_inputs`).  The leading singleton keeps the trailing two
-    block dims (1, D) equal to full array dims: a 2-D [L, D] input with
-    block (1, D) violates Mosaic's (8, 128) sublane tiling whenever L is
-    not a multiple of 8 (the round-3 multi-latent lowering crash, VERDICT
-    r3 Weak #2); leading batch dims may be blocked freely.  params_ref is
-    the full [L, 2] (variance, jitter) SMEM array (blocked SMEM specs are
-    not lowerable on TPU), indexed by the latent grid position."""
+    TRANSPOSED layout (round 5, same redesign as the single-latent
+    megakernel): the tile works in [M, TB] with the batch on the LANE
+    axis, so the per-point moment vectors are [1, TB] (lane-dense) instead
+    of [TB, 1] (1 of 128 lanes), and the tile's kappa block writes out as
+    [L, M, Bp] -- consumers get lazily-swapped [L, B, M] views whose
+    transposes XLA folds into the downstream dot dimension numbers.
+
+    ls_ref is the per-latent [1, 1, D] lengthscale block in VMEM and
+    ls_col_ref the same values as [1, D, 1] (the transposed x tile needs a
+    column broadcast; building [D, 1] from a [D] lane vector in-kernel is
+    a relayout).  Isotropic lengthscales arrive broadcast to [L, 1, D] /
+    [L, D, 1], so per-latent ARD folds into the coordinates in-kernel --
+    the analog of the single-latent tier's `_fused_scaled_inputs`.  The
+    leading singleton keeps the trailing two block dims equal to full
+    array dims: a 2-D [L, D] input with block (1, D) violates Mosaic's
+    (8, 128) sublane tiling whenever L is not a multiple of 8 (the
+    round-3 multi-latent lowering crash, VERDICT r3 Weak #2); leading
+    batch dims may be blocked freely.  params_ref is the full [L, 2]
+    (variance, jitter) SMEM array (blocked SMEM specs are not lowerable on
+    TPU), indexed by the latent grid position."""
     l = pl.program_id(0)
     var = params_ref[l, 0]
     jitt = params_ref[l, 1]
-    inv_ls = 1.0 / ls_ref[0, 0]  # [D]
-    kappa, ktilde = _kappa_tile(
-        x_ref[:] * inv_ls, z_ref[0] * inv_ls, kinv_ref[0], var, jitt, kind
-    )
-    mf = _dot1(kappa, mu_ref[0])  # [TB, 1] DEFAULT: matches the XLA twin
-    kS = _dot1(kappa, sigma_ref[0])  # DEFAULT: matches the XLA twin einsum
-    vf = jnp.maximum(ktilde + jnp.sum(kS * kappa, axis=1, keepdims=True), 1e-12)
-    kappa_ref[0] = kappa
+    xs = xT_ref[:] / ls_col_ref[0]  # [D, TB]
+    zs = z_ref[0] / ls_ref[0]  # [M, D]
+    zz = jnp.sum(zs * zs, axis=1, keepdims=True)  # [M, 1]
+    xx = jnp.sum(xs * xs, axis=0, keepdims=True)  # [1, TB]
+    # 3-pass cross term: see _gram (round-3 failure mode at DEFAULT)
+    r2 = jnp.maximum(zz + xx - 2.0 * _dot3(zs, xs), 0.0)  # [M, TB]
+    if kind == "rbf":
+        gramT = var * jnp.exp(-0.5 * r2)
+    elif kind == "matern32":
+        r = jnp.sqrt(jnp.maximum(3.0 * r2, 1e-36))
+        gramT = var * (1.0 + r) * jnp.exp(-r)
+    elif kind == "matern52":
+        r = jnp.sqrt(jnp.maximum(5.0 * r2, 1e-36))
+        gramT = var * (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+    elif kind == "matern12":
+        r = jnp.sqrt(jnp.maximum(r2, 1e-36))
+        gramT = var * jnp.exp(-r)
+    else:
+        raise ValueError(kind)
+    kappaT = _dot3(kinv_ref[0], gramT)  # [M, TB]; == XLA Precision.HIGH
+    ktilde = jnp.maximum(
+        var + jitt - jnp.sum(kappaT * gramT, axis=0, keepdims=True), 1e-12
+    )  # [1, TB]
+    mf = _dot1(mu_ref[0], kappaT)  # [1, TB] DEFAULT: matches the XLA twin
+    kS = _dot1(sigma_ref[0], kappaT)  # [M, TB] DEFAULT: matches the twin
+    vf = jnp.maximum(
+        ktilde + jnp.sum(kS * kappaT, axis=0, keepdims=True), 1e-12
+    )  # [1, TB]
+    kappa_ref[0] = kappaT
     mf_ref[0] = mf
     vf_ref[0] = vf
 
@@ -372,10 +403,12 @@ def _kappa_moments_batched_impl(X, Z, L_invT, ls, var, mu, Sigma, jitt, kind, ti
     Bp = _round_up(B, tile_b)
     if Bp != B:
         X = jnp.pad(X, ((0, Bp - B), (0, 0)))
-    ls3d = jnp.broadcast_to(
-        jnp.reshape(ls.astype(jnp.float32), (L, 1, -1)), (L, 1, D)
-    )  # [L, 1, D]: isotropic broadcasts, ARD passes through; the singleton
-    # middle axis keeps the BlockSpec's trailing dims full (see kernel doc)
+    ls2 = jnp.broadcast_to(
+        jnp.reshape(ls.astype(jnp.float32), (L, -1)), (L, D)
+    )  # isotropic broadcasts, ARD passes through
+    ls3d = ls2[:, None, :]  # [L, 1, D]: the singleton middle axis keeps the
+    # BlockSpec's trailing dims full (see kernel doc)
+    ls_col = ls2[:, :, None]  # [L, D, 1] for the transposed x tile
     params = jnp.stack(
         [
             jnp.broadcast_to(jnp.ravel(var.astype(jnp.float32)), (L,)),
@@ -383,91 +416,112 @@ def _kappa_moments_batched_impl(X, Z, L_invT, ls, var, mu, Sigma, jitt, kind, ti
         ],
         axis=1,
     )  # [L, 2]
-    kappa, mf, vf = pl.pallas_call(
+    kappaT, mfT, vfT = pl.pallas_call(
         functools.partial(_kappa_moments_batched_kernel, kind=kind),
         grid=(L, Bp // tile_b),
         in_specs=[
-            pl.BlockSpec((tile_b, D), lambda l, i: (i, 0)),
+            pl.BlockSpec((D, tile_b), lambda l, i: (0, i)),
             pl.BlockSpec((1, M, D), lambda l, i: (l, 0, 0)),
             pl.BlockSpec((1, M, M), lambda l, i: (l, 0, 0)),
-            pl.BlockSpec((1, M, 1), lambda l, i: (l, 0, 0)),
+            pl.BlockSpec((1, 1, M), lambda l, i: (l, 0, 0)),
             pl.BlockSpec((1, M, M), lambda l, i: (l, 0, 0)),
             pl.BlockSpec((1, 1, D), lambda l, i: (l, 0, 0)),
+            pl.BlockSpec((1, D, 1), lambda l, i: (l, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_b, M), lambda l, i: (l, i, 0)),
-            pl.BlockSpec((1, tile_b, 1), lambda l, i: (l, i, 0)),
-            pl.BlockSpec((1, tile_b, 1), lambda l, i: (l, i, 0)),
+            pl.BlockSpec((1, M, tile_b), lambda l, i: (l, 0, i)),
+            pl.BlockSpec((1, 1, tile_b), lambda l, i: (l, 0, i)),
+            pl.BlockSpec((1, 1, tile_b), lambda l, i: (l, 0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((L, Bp, M), jnp.float32),
-            jax.ShapeDtypeStruct((L, Bp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((L, Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((L, M, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1, Bp), jnp.float32),
         ],
     )(
-        X.astype(jnp.float32),
+        # one XLA-side relayout to the kernel's [D, B] lane-major layout
+        X.astype(jnp.float32).T,
         Z.astype(jnp.float32),
         _kinv(L_invT.astype(jnp.float32)),
-        mu.astype(jnp.float32)[..., None],
+        mu.astype(jnp.float32)[:, None, :],
         Sigma.astype(jnp.float32),
         ls3d,
+        ls_col,
         params,
     )
-    return kappa[:, :B], mf[:, :B, 0], vf[:, :B, 0]
+    # lazy [L, B, M] view: the swap folds into downstream dot dimension
+    # numbers (and cancels against cavi_stats_batched's swap back)
+    return jnp.swapaxes(kappaT, -1, -2)[:, :B], mfT[:, 0, :B], vfT[:, 0, :B]
 
 
 # ----------------------------------------------- batched (multi-latent) stats
 def _stats_batched_kernel(kappa_ref, g_ref, theta_ref, s1_ref, s2_ref):
+    """TRANSPOSED layout: kappa arrives [M, TB] (batch on the lane axis);
+    the statistics contract over dim 1 of both operands -- no in-kernel
+    transposes, and g/theta are lane-dense [1, TB]."""
     i = pl.program_id(1)
-    kappa = kappa_ref[0]  # [TB, M]
-    g = g_ref[0]  # [TB, 1]
-    th = theta_ref[0]  # [TB, 1]
+    kappaT = kappa_ref[0]  # [M, TB]
+    g = g_ref[0]  # [1, TB]
+    th = theta_ref[0]  # [1, TB]
 
     @pl.when(i == 0)
     def _():
         s1_ref[:] = jnp.zeros_like(s1_ref)
         s2_ref[:] = jnp.zeros_like(s2_ref)
 
-    s1_ref[0] += jnp.sum(kappa * g, axis=0, keepdims=True)
+    s1_ref[0] += jax.lax.dot_general(
+        kappaT, g, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [M, 1]
     # DEFAULT precision: consumed in the kappa basis (no amplification),
     # matching the XLA twin einsum (module docstring)
-    s2_ref[0] += _dot1_g0(kappa * th, kappa)
+    s2_ref[0] += jax.lax.dot_general(
+        kappaT * th, kappaT, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b",))
 def cavi_stats_batched(kappa, g, theta, tile_b=512):
     """s1[l] = kappa[l]^T g[l], S2[l] = kappa[l]^T diag(theta[l]) kappa[l]
     for every latent l in one pass over kappa (grid (L, B-tiles); the [M] /
-    [M,M] accumulators stay VMEM-resident across each latent's B-loop)."""
+    [M,M] accumulators stay VMEM-resident across each latent's B-loop).
+
+    Takes kappa as [L, B, M]; the kernel consumes the [L, M, B] transpose
+    -- when kappa came from `fused_kappa_moments_batched` (which now
+    emits [L, M, Bp] and returns a lazily-swapped view), the two
+    transposes cancel and the kernel reads the ORIGINAL layout with no
+    copy."""
     L, B, M = kappa.shape
+    kappaT = jnp.swapaxes(kappa, -1, -2)  # [L, M, B]
     Bp = _round_up(B, tile_b)
     if Bp != B:
-        kappa = jnp.pad(kappa, ((0, 0), (0, Bp - B), (0, 0)))
+        kappaT = jnp.pad(kappaT, ((0, 0), (0, 0), (0, Bp - B)))
         g = jnp.pad(g, ((0, 0), (0, Bp - B)))
         theta = jnp.pad(theta, ((0, 0), (0, Bp - B)))
     s1, s2 = pl.pallas_call(
         _stats_batched_kernel,
         grid=(L, Bp // tile_b),
         in_specs=[
-            pl.BlockSpec((1, tile_b, M), lambda l, i: (l, i, 0)),
-            pl.BlockSpec((1, tile_b, 1), lambda l, i: (l, i, 0)),
-            pl.BlockSpec((1, tile_b, 1), lambda l, i: (l, i, 0)),
+            pl.BlockSpec((1, M, tile_b), lambda l, i: (l, 0, i)),
+            pl.BlockSpec((1, 1, tile_b), lambda l, i: (l, 0, i)),
+            pl.BlockSpec((1, 1, tile_b), lambda l, i: (l, 0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, M), lambda l, i: (l, 0, 0)),
+            pl.BlockSpec((1, M, 1), lambda l, i: (l, 0, 0)),
             pl.BlockSpec((1, M, M), lambda l, i: (l, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((L, 1, M), jnp.float32),
+            jax.ShapeDtypeStruct((L, M, 1), jnp.float32),
             jax.ShapeDtypeStruct((L, M, M), jnp.float32),
         ],
     )(
-        kappa.astype(jnp.float32),
-        g.astype(jnp.float32)[..., None],
-        theta.astype(jnp.float32)[..., None],
+        kappaT.astype(jnp.float32),
+        g.astype(jnp.float32)[:, None, :],
+        theta.astype(jnp.float32)[:, None, :],
     )
-    return s1[:, 0], s2
+    return s1[:, :, 0], s2
 
 
 # ------------------------------------------------------------- CAVI stats
