@@ -794,3 +794,207 @@ def fused_cavi_stats(
         params,
     )
     return s1[:, 0], s2, c[0, :B], theta[0, :B], mf[0, :B], vf[0, :B]
+
+
+# ----------------------------------- fully-fused multiclass CAVI statistics
+def _digamma_psi(x):
+    """In-kernel digamma for the logistic-softmax fixed point: 5 unrolled
+    recurrence shifts (psi(x) = psi(x+1) - 1/x) to x >= 6, then the
+    asymptotic series -- ~1e-9 absolute for x >= 1, and alpha = 1 +
+    sum_k gamma_k >= 1 always.  (jax.scipy.special.digamma has no Mosaic
+    lowering.)"""
+    res = jnp.zeros_like(x)
+    for _ in range(5):
+        res = jnp.where(x < 6.0, res - 1.0 / x, res)
+        x = jnp.where(x < 6.0, x + 1.0, x)
+    inv = 1.0 / x
+    inv2 = inv * inv
+    return (
+        res + jnp.log(x) - 0.5 * inv
+        - inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0))
+    )
+
+
+def _cavi_fused_mc_kernel(
+    xT_ref, y_ref, mask_ref, alpha_ref, beta_ref, z_ref, kinv_ref, mu_ref,
+    sigma_ref, ls_ref, ls_col_ref, params_ref,
+    s1_ref, s2_ref, c_ref, theta_ref, gamma_ref, alpha_out_ref, *, kind, K,
+):
+    """Fully-fused multiclass (logistic-softmax) CAVI statistics: ALL K
+    latents AND the cross-class triple-augmentation E-step in one kernel,
+    grid over B-tiles only -- kappa never round-trips to HBM (the
+    two-kernel batched tier pays that trip because its E-step runs
+    XLA-side; at small M the trip dominates and the tier loses 0.68-0.75x,
+    GATE_AB boundary sweep).  The K loop is unrolled in-kernel (K static);
+    all [K, M, M] operands and the per-class kappa tiles stay VMEM-resident
+    -- the auto gate bounds K*M so they fit (analytic_vi._pallas_fused_mc_spec).
+
+    Transposed [M, TB] layout throughout (round-5 design): per-point
+    E-step arrays are [K, TB] / [1, TB], lane-dense.
+
+    E-step (likelihoods/multiclass.py::local_updates, reference
+    logisticsoftmax.jl:55-79), y one-hot [K, TB]:
+      c_k = sqrt(mf_k^2 + vf_k)
+      repeat 2x:  gamma_k = e^psi(alpha) e^{-mf_k/2} / (2 beta cosh(c_k/2))
+                  alpha   = 1 + sum_k gamma_k
+      theta_k = (y_k + gamma_k) tanh(c_k/2) / (2 c_k)
+    beta is carried from local_vars (constant K under CAVI)."""
+    i = pl.program_id(0)
+    jitt = params_ref[0]
+    rho = params_ref[1]
+    xT = xT_ref[:]  # [D, TB]
+
+    kappas = []
+    mfs = []
+    vfs = []
+    for k in range(K):
+        var_k = params_ref[2 + k]
+        zs = z_ref[k] / ls_ref[k]  # [M, D]
+        xs = xT / ls_col_ref[k]  # [D, TB]
+        zz = jnp.sum(zs * zs, axis=1, keepdims=True)
+        xx = jnp.sum(xs * xs, axis=0, keepdims=True)
+        r2 = jnp.maximum(zz + xx - 2.0 * _dot3(zs, xs), 0.0)  # [M, TB]
+        if kind == "rbf":
+            gramT = var_k * jnp.exp(-0.5 * r2)
+        elif kind == "matern32":
+            r = jnp.sqrt(jnp.maximum(3.0 * r2, 1e-36))
+            gramT = var_k * (1.0 + r) * jnp.exp(-r)
+        elif kind == "matern52":
+            r = jnp.sqrt(jnp.maximum(5.0 * r2, 1e-36))
+            gramT = var_k * (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+        elif kind == "matern12":
+            r = jnp.sqrt(jnp.maximum(r2, 1e-36))
+            gramT = var_k * jnp.exp(-r)
+        else:
+            raise ValueError(kind)
+        kappaT = _dot3(kinv_ref[k], gramT)  # [M, TB]
+        ktilde = jnp.maximum(
+            var_k + jitt - jnp.sum(kappaT * gramT, axis=0, keepdims=True),
+            1e-12,
+        )
+        mf_k = _dot1(mu_ref[k], kappaT)  # [1, TB]
+        kS = _dot1(sigma_ref[k], kappaT)
+        vf_k = jnp.maximum(
+            ktilde + jnp.sum(kS * kappaT, axis=0, keepdims=True), 1e-12
+        )
+        kappas.append(kappaT)
+        mfs.append(mf_k)
+        vfs.append(vf_k)
+
+    mf = jnp.concatenate(mfs, axis=0)  # [K, TB]
+    vf = jnp.concatenate(vfs, axis=0)
+    c = jnp.sqrt(mf * mf + vf)
+    # exp(-mf/2)/cosh(c/2) in log space (ops/special.py::safe_expcosh)
+    ch = jnp.abs(c / 2.0)
+    logcosh = ch + jnp.log1p(jnp.exp(-2.0 * ch)) - 0.6931471805599453
+    expcosh = jnp.exp(-mf / 2.0 - logcosh)
+    alpha = alpha_ref[:]  # [1, TB]
+    beta = beta_ref[:]  # [1, TB]
+    for _ in range(2):  # inner fixed point
+        gamma = jnp.exp(_digamma_psi(alpha)) * expcosh / (2.0 * beta)
+        alpha = 1.0 + jnp.sum(gamma, axis=0, keepdims=True)
+    yT = y_ref[:]  # [K, TB]
+    theta = (yT + gamma) * jnp.tanh(c / 2.0) / (2.0 * c)
+    gmu = (yT - gamma) / 2.0
+    gs = theta / 2.0
+
+    c_ref[:] = c
+    theta_ref[:] = theta
+    gamma_ref[:] = gamma
+    alpha_out_ref[:] = alpha
+
+    @pl.when(i == 0)
+    def _():
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        s2_ref[:] = jnp.zeros_like(s2_ref)
+
+    m = mask_ref[:]  # [1, TB]
+    for k in range(K):
+        s1_ref[k] += jax.lax.dot_general(
+            kappas[k], rho * gmu[k : k + 1] * m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s2_ref[k] += jax.lax.dot_general(
+            kappas[k] * (rho * gs[k : k + 1] * m), kappas[k],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "tile_b"))
+def fused_cavi_stats_multiclass(
+    xb, y_onehot, Z, L_invT, mu, Sigma, ls, var, jitt, rho, alpha0, beta0,
+    kind="rbf", tile_b=1024,
+):
+    """One-kernel multiclass CAVI statistics pass.
+
+    xb [B, D]; y_onehot [B, K]; Z [K, M, D]; L_invT [K, M, M]; mu [K, M];
+    Sigma [K, M, M]; ls [K, D] (ARD; broadcast isotropic); var [K];
+    alpha0/beta0 [B] (the carried Gamma local variables).  Returns
+    (s1 [K, M], S2 [K, M, M], c [K, B], theta [K, B], gamma [K, B],
+    alpha [B])."""
+    B, D = xb.shape
+    K, M, _ = Z.shape
+    Bp = _round_up(B, tile_b)
+    mask = jnp.ones((B,), jnp.float32)
+    if Bp != B:
+        xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
+        y_onehot = jnp.pad(y_onehot, ((0, Bp - B), (0, 0)))
+        mask = jnp.pad(mask, (0, Bp - B))
+        alpha0 = jnp.pad(alpha0, (0, Bp - B), constant_values=1.0)
+        beta0 = jnp.pad(beta0, (0, Bp - B), constant_values=float(K))
+    ls2 = jnp.broadcast_to(jnp.reshape(ls.astype(jnp.float32), (K, -1)), (K, D))
+    params = jnp.concatenate([
+        jnp.asarray([jitt, rho], jnp.float32),
+        jnp.broadcast_to(jnp.ravel(var.astype(jnp.float32)), (K,)),
+    ])
+    s1, s2, c, theta, gamma, alpha = pl.pallas_call(
+        functools.partial(_cavi_fused_mc_kernel, kind=kind, K=K),
+        grid=(Bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((D, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((K, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((K, M, D), lambda i: (0, 0, 0)),
+            pl.BlockSpec((K, M, M), lambda i: (0, 0, 0)),
+            pl.BlockSpec((K, 1, M), lambda i: (0, 0, 0)),
+            pl.BlockSpec((K, M, M), lambda i: (0, 0, 0)),
+            pl.BlockSpec((K, 1, D), lambda i: (0, 0, 0)),
+            pl.BlockSpec((K, D, 1), lambda i: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, M, 1), lambda i: (0, 0, 0)),
+            pl.BlockSpec((K, M, M), lambda i: (0, 0, 0)),
+            pl.BlockSpec((K, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((K, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((K, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_b), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((K, M, M), jnp.float32),
+            jax.ShapeDtypeStruct((K, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((K, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((K, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        ],
+    )(
+        xb.astype(jnp.float32).T,
+        y_onehot.astype(jnp.float32).T,
+        mask[None, :],
+        alpha0.astype(jnp.float32)[None, :],
+        beta0.astype(jnp.float32)[None, :],
+        Z.astype(jnp.float32),
+        _kinv(L_invT.astype(jnp.float32)),
+        mu.astype(jnp.float32)[:, None, :],
+        Sigma.astype(jnp.float32),
+        ls2[:, None, :],
+        ls2[:, :, None],
+        params,
+    )
+    return (
+        s1[:, :, 0], s2, c[:, :B], theta[:, :B], gamma[:, :B], alpha[0, :B]
+    )

@@ -63,6 +63,11 @@ def main():
         ("studentt", 512, 65536, 600, 200),
         ("multiclass", 512, 8192, 1200, 400),
         ("multiclass", 512, 32768, 600, 200),
+        # small-M multiclass rows exercise the FULLY-fused megakernel
+        # (fused_cavi_stats_multiclass; K=3, K*M <= 2560) -- the two-kernel
+        # batched tier applies at M=512 only
+        ("multiclass", 64, 4096, 4000, 2000),
+        ("multiclass", 256, 32768, 1200, 400),
     ]
     # argv filter, e.g. `gate_ab.py logistic:512:32768` runs one config
     if len(sys.argv) > 1:

@@ -115,6 +115,25 @@ def run(verbose: bool = True):
             Sigma[:64, :64], 1.0, 1.0, 1e-4, 1.0, kind="rbf", lik="logistic",
         ),
     )
+    # fully-fused multiclass megakernel (K=L latents + E-step in-kernel),
+    # incl. the odd-B padding path (carried alpha/beta pad values)
+    y1h = jnp.zeros((B, L), jnp.float32).at[jnp.arange(B), 0].set(1.0)
+    alpha0 = jnp.full((B,), float(L), jnp.float32)
+    for kind in kinds:
+        attempt(
+            f"fused_cavi_stats_multiclass[{kind},K={L}]",
+            lambda kind=kind: pk.fused_cavi_stats_multiclass(
+                X, y1h, ZL, LinvTL, muL, SigmaL, lsL, varL, 1e-4, 1.0,
+                alpha0, alpha0, kind=kind,
+            ),
+        )
+    attempt(
+        f"fused_cavi_stats_multiclass[rbf,K={L},B=200]",
+        lambda: pk.fused_cavi_stats_multiclass(
+            X[:200], y1h[:200], ZL, LinvTL, muL, SigmaL, lsL, varL, 1e-4,
+            1.0, alpha0[:200], alpha0[:200], kind="rbf",
+        ),
+    )
     return n - len(failures), n, failures
 
 

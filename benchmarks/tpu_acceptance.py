@@ -462,6 +462,29 @@ def fused_ard():
     return acc, "> 0.9", acc > 0.9
 
 
+@check("fused_mc_megakernel_m64_accuracy")
+def fused_mc_megakernel():
+    """The fully-fused multiclass megakernel (all K latents + the
+    logistic-softmax triple-augmentation E-step in ONE kernel, incl. the
+    in-kernel digamma series) end-to-end on chip at its gate shape
+    (K*M <= 2560, M <= 256)."""
+    key = jax.random.PRNGKey(51)
+    X = jax.random.normal(key, (30_000, 2), DTYPE)
+    centers = jnp.asarray([[1.5, 0.0], [-1.5, 1.0], [0.0, -1.5]], DTYPE)
+    d2 = jnp.sum((X[:, None, :] - centers[None]) ** 2, -1)
+    y = np.asarray(jnp.argmin(d2, axis=1))
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.LogisticSoftMaxLikelihood.create(3),
+        agp.AnalyticSVI(2048, minibatch_sampling="slice"),
+        Z=X[:64], optimiser=None,
+    )
+    with pallas_override("on"):
+        m, s = agp.train(m, X, y, iterations=300)
+        pred = agp.predict_y(m, s, X[:4096])
+    acc = float(jnp.mean(pred == jnp.asarray(y[:4096])))
+    return acc, "> 0.85", acc > 0.85
+
+
 @check("real_data_breast_cancer_accuracy")
 def real_data():
     """REAL tabular data on the chip (VERDICT r4 Missing #2): the vendored
@@ -571,7 +594,8 @@ CHECKS = [gp_exact, svgp_logistic, svgp_hyperopt, multiclass, hetero, vstp,
           fused_studentt, fused_laplace, fused_matern32lik, fused_svm,
           fused_poisson, fused_negbinomial, fused_batched_multiclass,
           fused_batched_hetero, fused_batched_mosvgp, fused_ard,
-          real_data, lowering_smoke, online_hyperopt, mo_proba]
+          fused_mc_megakernel, real_data, lowering_smoke, online_hyperopt,
+          mo_proba]
 
 
 def main():

@@ -571,3 +571,51 @@ def test_auto_gate_full_batch_uses_m_alone(monkeypatch):
     assert analytic_vi._pallas_kind_batched(mk_mc(agp.AnalyticVI())) == "rbf"
     assert analytic_vi._pallas_kind_batched(mk_mc(agp.AnalyticSVI(8192))) is None
     assert analytic_vi._pallas_kind_batched(mk_mc(agp.AnalyticSVI(16384))) == "rbf"
+
+
+def test_fused_multiclass_step_matches_xla(monkeypatch):
+    """The fully-fused multiclass megakernel (all K latents + the
+    logistic-softmax triple-augmentation E-step in ONE kernel) must
+    reproduce the XLA path's CAVI trajectory.  The in-kernel digamma is a
+    recurrence+asymptotic-series approximation (~1e-9) vs
+    jax.scipy.special.digamma, and the 3-pass bf16 dots differ from f64 at
+    ~2^-16 -- loose tolerances per the other fused parity tests."""
+    import agp_tpu as agp
+    from agp_tpu.inference.analytic_vi import variational_update
+    from agp_tpu.training.train import init_state
+
+    monkeypatch.delenv("AGP_TPU_PALLAS", raising=False)
+    key = jax.random.PRNGKey(0)
+    B, D, M, K = 96, 3, 24, 3
+    X = jax.random.normal(key, (B, D), jnp.float64)
+    centers = jnp.eye(K, D, dtype=jnp.float64) * 1.5
+    yv = np.asarray(jnp.argmin(
+        jnp.sum((X[:, None] - centers[None]) ** 2, -1), axis=1
+    ))
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(lengthscale=jnp.asarray([1.0, 1.4, 0.8])),
+        agp.LogisticSoftMaxLikelihood.create(K),
+        agp.AnalyticSVI(B), Z=X[:M], optimiser=None,
+    )
+    y2, tl = m.likelihood.treat_labels(yv)
+    m = m.replace(likelihood=tl)
+    y2 = jnp.asarray(y2, jnp.float64)
+    s0 = init_state(m, X, y2)
+
+    m_x, s_x = variational_update(m, s0, X, y2)
+    m_x, s_x = variational_update(m_x, s_x, X, y2)
+
+    monkeypatch.setenv("AGP_TPU_PALLAS", "1")
+    vu = jax.jit(variational_update)
+    with pltpu.force_tpu_interpret_mode():
+        m_p, s_p = jax.block_until_ready(vu(m, s0, X, y2))
+        m_p, s_p = jax.block_until_ready(vu(m_p, s_p, X, y2))
+    np.testing.assert_allclose(np.asarray(s_p.mu), np.asarray(s_x.mu),
+                               rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_p.Sigma), np.asarray(s_x.Sigma),
+                               rtol=1e-2, atol=1e-4)
+    for k in ("theta", "gamma", "alpha", "c"):
+        np.testing.assert_allclose(
+            np.asarray(s_p.local_vars[k]), np.asarray(s_x.local_vars[k]),
+            rtol=1e-2, atol=1e-4, err_msg=k,
+        )
