@@ -48,11 +48,11 @@ class AnalyticVI(InferenceConfig):
     bytes as "gather" in n-times fewer, larger transactions (a block
     bootstrap: tiles are iid samples of n exchangeable rows; requires
     batchsize % n == 0, else falls back to "gather").  Measured v5e at
-    the flagship shape with the tile view hoisted out of the step scan
-    (GATHER_MODES.json round 5): gather 13.6k, block32 33.6k, block64
-    40.4k, block128 41.7k, slice 35.7k iters/s -- block64+ beats even
-    slice, so "block" is both the statistically-honest AND the fastest
-    minibatching mode."""
+    the flagship shape through the production driver (tile views AND draw
+    RNG hoisted out of the step scan; GATHER_MODES.json round 5): gather
+    16.0k, block32 48.0k, block64 58.9k, block128 61.7k, slice 57.9k
+    iters/s -- block64+ beats even slice, so "block" is both the
+    statistically-honest AND the fastest minibatching mode."""
 
     stochastic: bool = False
     batchsize: int = 0

@@ -531,10 +531,13 @@ def online_train_stream(
     X_stream = jnp.asarray(X_stream)
     if X_stream.ndim == 2:
         X_stream = X_stream[:, :, None]
-    y_flat, lik = model.likelihood.treat_labels(jnp.ravel(jnp.asarray(y_stream)))
+    y_in = jnp.asarray(y_stream)
+    y_flat, lik = model.likelihood.treat_labels(jnp.ravel(y_in))
     model = model.replace(likelihood=lik)
+    # treat_labels may append trailing label dims (multiclass one-hot
+    # [N] -> [N, K]); restore the (n_batches, B) leading layout around them
     y_stream = match_dtype(
-        jnp.reshape(y_flat, jnp.asarray(y_stream).shape), X_stream
+        jnp.reshape(y_flat, y_in.shape[:2] + y_flat.shape[1:]), X_stream
     )
     if state is None:
         model, state = online_train(

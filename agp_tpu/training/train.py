@@ -142,16 +142,15 @@ def _draw_batch(model, state, X, y, step, tiled=None):
         # gather of b/tile random ALIGNED tile-row blocks: the same bytes
         # as the iid gather in tile-times fewer, tile-times larger HBM
         # transactions (TPU row gathers are transaction-bound; measured
-        # v5e full-CAVI at the flagship shape M=64/B=4096/D=20, 2000-step
-        # scan with the tile view hoisted out of the scan: iid gather
-        # 13.6k, block8 19.1k, block16 31.7k, block32 33.6k, block64
-        # 40.4k, block128 41.7k vs slice 35.7k iters/s -- block64+ BEATS
-        # slice (GATHER_MODES.json round 5).  Statistically a block
-        # bootstrap: with pre-shuffled rows the tiles are iid draws of
-        # `tile` exchangeable rows; B/tile independent blocks per batch
-        # (64 at the default) keeps the gradient-estimator variance near
-        # the iid gather's.  "block" -> tile=64 (halved to divide b);
-        # "block:<n>" picks the height.
+        # v5e through the production _vi_steps driver at the flagship
+        # shape M=64/B=4096/D=20: iid gather 16.0k, block8 38.4k, block16
+        # 51.6k, block32 48.0k, block64 58.9k, block128 61.7k vs slice
+        # 57.9k iters/s -- block64+ BEATS slice (GATHER_MODES.json round
+        # 5).  Statistically a block bootstrap: with pre-shuffled rows
+        # the tiles are iid draws of `tile` exchangeable rows; B/tile
+        # independent blocks per batch (64 at the default) keeps the
+        # gradient-estimator variance near the iid gather's.  "block" ->
+        # tile=64 (halved to divide b); "block:<n>" picks the height.
         Xt, yt = _tile_views(X, y, tile) if tiled is None else tiled
         tidx = jax.random.randint(sub, (b // tile,), 0, Xt.shape[0])
         x_b = jnp.take(Xt, tidx, axis=0).reshape(b, X.shape[1])

@@ -103,30 +103,30 @@ def main():
             return xt, yt
         raise ValueError(mode)
 
-    def make_scan(mode):
-        @jax.jit
-        def scan(model, state, Xa, ya):
-            if mode.startswith("block"):
-                n = int(mode[5:])
-                Xa = Xa[: N // n * n].reshape(N // n, n, D)
-                ya = ya[: N // n * n].reshape(N // n, n)
+    def run_mode(mode):
+        """Measure the PRODUCTION driver (train.py::_vi_steps -- tile views
+        AND draw RNG hoisted out of the scan, round 5) with the given
+        minibatch_sampling mode.  Earlier revisions of this script measured
+        a hand-rolled scan with per-step in-body RNG; those numbers are
+        ~7.5 us/step slower across every mode and no longer describe
+        production."""
+        import dataclasses
 
-            def body(carry, _):
-                m, s = carry
-                xb, yb = draw(mode, s.key, Xa, ya, s.step)
-                m, s = variational_update(m, s, xb, yb)
-                return (m, s.replace(step=s.step + 1)), None
+        from agp_tpu.training.train import _vi_steps
 
-            (model2, state2), _ = jax.lax.scan(body, (model, state), None, length=STEPS)
-            return state2.mu
-
-        return scan
+        sampling = mode if not mode.startswith("block") else f"block:{mode[5:]}"
+        m = model.replace(
+            inference=dataclasses.replace(
+                model.inference, minibatch_sampling=sampling
+            )
+        )
+        jax.clear_caches()
+        return timeit(lambda: _vi_steps(m, state0, X, y2, STEPS)[1].mu)
 
     rows = {}
     for mode in ("slice", "gather", "block8", "block16", "block32", "block64",
                  "block128"):
-        scan = make_scan(mode)
-        t = timeit(lambda: scan(model, state0, X, y2))
+        t = run_mode(mode)
         rows[mode] = {"steps_per_s": STEPS / t, "ms_per_step": t / STEPS * 1e3}
         print(f"{mode:9s}: {STEPS/t:10.0f} iters/s  ({t/STEPS*1e6:.1f} us/step)", flush=True)
 

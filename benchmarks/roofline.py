@@ -129,14 +129,23 @@ def hand_model(B, M, D, K=1, moments_schulz_iters=4):
 
 
 def measure(shapes):
+    from agp_tpu.inference.analytic_vi import pallas_override
     from agp_tpu.training.train import _vi_steps
 
     rows = []
     for row in shapes:
         name, N, D, M, B, K, steps, extra = row
         m, s, X, y = workload(N, D, M, B, K=K)
-        t = timeit(lambda: _vi_steps(m, s, X, y, steps))
+        # the hand model describes the XLA op pipeline, so the roofline
+        # fractions are computed against the XLA arm; the production
+        # (auto-gated, usually fused-Pallas) arm is reported alongside
+        jax.clear_caches()
+        with pallas_override("off"):
+            t = timeit(lambda: _vi_steps(m, s, X, y, steps))
         us = t / steps * 1e6
+        jax.clear_caches()
+        t_prod = timeit(lambda: _vi_steps(m, s, X, y, steps))
+        us_prod = t_prod / steps * 1e6
         hand = hand_model(B, M, D, K=K)
         # XLA's own accounting of the whole scan program.  CAVEAT: on this
         # backend cost_analysis does NOT descend into the lax.scan body
@@ -156,6 +165,9 @@ def measure(shapes):
             "shape": name, "N": N, "D": D, "M": M, "B": B, "K": K,
             "us_per_step": us,
             "iters_per_s": 1e6 / us,
+            "production_us_per_step": us_prod,
+            "production_iters_per_s": 1e6 / us_prod,
+            "production_vs_xla": us / us_prod,
             "hand_logical_gflops_per_step": hand["logical_flops"] / 1e9,
             "hand_mxu_pass_gflops_per_step": hand["mxu_pass_flops"] / 1e9,
             "hand_min_hbm_mb_per_step": hand["min_hbm_bytes"] / 1e6,
