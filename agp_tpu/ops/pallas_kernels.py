@@ -998,3 +998,169 @@ def fused_cavi_stats_multiclass(
     return (
         s1[:, :, 0], s2, c[:, :B], theta[:, :B], gamma[:, :B], alpha[0, :B]
     )
+
+
+# ------------------------------------ fully-fused heteroscedastic statistics
+def _cavi_fused_het_kernel(
+    xT_ref, y_ref, mask_ref, z_ref, kinv_ref, mu_ref, sigma_ref, ls_ref,
+    ls_col_ref, params_ref,
+    s1_ref, s2_ref, c_ref, phi_ref, gamma_ref, theta_ref, sigg_ref, *, kind,
+):
+    """Fully-fused heteroscedastic (2-latent) CAVI statistics: both latent
+    GPs (f = mean, g = log-precision) and their COUPLED E-step
+    (likelihoods/heteroscedastic.py::local_updates, reference
+    heteroscedastic.jl:50-96) in one kernel, grid over B-tiles --
+    same design as `_cavi_fused_mc_kernel` (kappa never round-trips to
+    HBM; transposed [M, TB] layout).  The closed-form lambda update is an
+    XLA epilogue on the emitted (phi, sigg) locals: it is a cross-batch
+    reduction feeding the NEXT step only (local_updates computes gamma
+    with the old lambda)."""
+    i = pl.program_id(0)
+    jitt = params_ref[0]
+    rho = params_ref[1]
+    lam = params_ref[2]
+
+    xT = xT_ref[:]
+    kappas = []
+    moments = []
+    for k in range(2):
+        var_k = params_ref[3 + k]
+        zs = z_ref[k] / ls_ref[k]
+        xs = xT / ls_col_ref[k]
+        zz = jnp.sum(zs * zs, axis=1, keepdims=True)
+        xx = jnp.sum(xs * xs, axis=0, keepdims=True)
+        r2 = jnp.maximum(zz + xx - 2.0 * _dot3(zs, xs), 0.0)
+        if kind == "rbf":
+            gramT = var_k * jnp.exp(-0.5 * r2)
+        elif kind == "matern32":
+            r = jnp.sqrt(jnp.maximum(3.0 * r2, 1e-36))
+            gramT = var_k * (1.0 + r) * jnp.exp(-r)
+        elif kind == "matern52":
+            r = jnp.sqrt(jnp.maximum(5.0 * r2, 1e-36))
+            gramT = var_k * (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+        elif kind == "matern12":
+            r = jnp.sqrt(jnp.maximum(r2, 1e-36))
+            gramT = var_k * jnp.exp(-r)
+        else:
+            raise ValueError(kind)
+        kappaT = _dot3(kinv_ref[k], gramT)
+        ktilde = jnp.maximum(
+            var_k + jitt - jnp.sum(kappaT * gramT, axis=0, keepdims=True),
+            1e-12,
+        )
+        mf_k = _dot1(mu_ref[k], kappaT)
+        kS = _dot1(sigma_ref[k], kappaT)
+        vf_k = jnp.maximum(
+            ktilde + jnp.sum(kS * kappaT, axis=0, keepdims=True), 1e-12
+        )
+        kappas.append(kappaT)
+        moments.append((mf_k, vf_k))
+
+    yb = y_ref[:]  # [1, TB]
+    (mf, vf), (mg, vg) = moments
+    phi = ((mf - yb) ** 2 + vf) / 2.0
+    c = jnp.sqrt(mg * mg + vg)
+    ch = jnp.abs(c / 2.0)
+    logcosh = ch + jnp.log1p(jnp.exp(-2.0 * ch)) - 0.6931471805599453
+    sigg = jnp.exp(-mg / 2.0 - logcosh) / 2.0
+    # gamma/theta use the OLD lam (exactly like local_updates); the f-latent
+    # GRADIENTS use the NEW lam (grad_e_mu reads the post-update
+    # likelihood), which is a batch-global reduction unknown until every
+    # tile is processed -- but lam enters those gradients as a SCALAR
+    # factor, so the f statistics accumulate WITHOUT it and the XLA
+    # epilogue scales s1[0]/S2[0] by new_lam.
+    gamma = lam * phi * sigg
+    theta = (0.5 + gamma) * jnp.tanh(c / 2.0) / (2.0 * c)
+    gmu_f = yb * sigg / 2.0  # x new_lam in the epilogue
+    gs_f = sigg / 2.0  # x new_lam in the epilogue
+    gmu_g = (0.5 - gamma) / 2.0
+    gs_g = theta / 2.0
+
+    c_ref[:] = c
+    phi_ref[:] = phi
+    gamma_ref[:] = gamma
+    theta_ref[:] = theta
+    sigg_ref[:] = sigg
+
+    @pl.when(i == 0)
+    def _():
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        s2_ref[:] = jnp.zeros_like(s2_ref)
+
+    m = mask_ref[:]
+    for k, (gmu, gs) in enumerate(((gmu_f, gs_f), (gmu_g, gs_g))):
+        s1_ref[k] += jax.lax.dot_general(
+            kappas[k], rho * gmu * m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s2_ref[k] += jax.lax.dot_general(
+            kappas[k] * (rho * gs * m), kappas[k], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "tile_b"))
+def fused_cavi_stats_het(
+    xb, yb, Z, L_invT, mu, Sigma, ls, var, jitt, rho, lam,
+    kind="rbf", tile_b=1024,
+):
+    """One-kernel heteroscedastic CAVI statistics pass.
+
+    xb [B, D]; yb [B]; Z [2, M, D]; L_invT [2, M, M]; mu [2, M];
+    Sigma [2, M, M]; ls [2, D]; var [2]; lam the (old) precision scale.
+    Returns (s1 [2, M], S2 [2, M, M], c, phi, gamma, theta, sigg [B])."""
+    B, D = xb.shape
+    _, M, _ = Z.shape
+    Bp = _round_up(B, tile_b)
+    mask = jnp.ones((B,), jnp.float32)
+    if Bp != B:
+        xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
+        yb = jnp.pad(yb, (0, Bp - B))
+        mask = jnp.pad(mask, (0, Bp - B))
+    ls2 = jnp.broadcast_to(jnp.reshape(ls.astype(jnp.float32), (2, -1)), (2, D))
+    params = jnp.concatenate([
+        jnp.asarray(
+            [jitt, rho, jnp.asarray(lam, jnp.float32)], jnp.float32
+        ).reshape(3),
+        jnp.broadcast_to(jnp.ravel(var.astype(jnp.float32)), (2,)),
+    ])
+    outs = pl.pallas_call(
+        functools.partial(_cavi_fused_het_kernel, kind=kind),
+        grid=(Bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((D, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((2, M, D), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, M, M), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, 1, M), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, M, M), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, 1, D), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, D, 1), lambda i: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, M, 1), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, M, M), lambda i: (0, 0, 0)),
+        ] + [pl.BlockSpec((1, tile_b), lambda i: (0, i))] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((2, M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((2, M, M), jnp.float32),
+        ] + [jax.ShapeDtypeStruct((1, Bp), jnp.float32)] * 5,
+    )(
+        xb.astype(jnp.float32).T,
+        yb.astype(jnp.float32)[None, :],
+        mask[None, :],
+        Z.astype(jnp.float32),
+        _kinv(L_invT.astype(jnp.float32)),
+        mu.astype(jnp.float32)[:, None, :],
+        Sigma.astype(jnp.float32),
+        ls2[:, None, :],
+        ls2[:, :, None],
+        params,
+    )
+    s1, s2, c, phi, gamma, theta, sigg = outs
+    return (
+        s1[:, :, 0], s2, c[0, :B], phi[0, :B], gamma[0, :B], theta[0, :B],
+        sigg[0, :B],
+    )

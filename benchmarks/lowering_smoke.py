@@ -134,6 +134,22 @@ def run(verbose: bool = True):
             1.0, alpha0[:200], alpha0[:200], kind="rbf",
         ),
     )
+    # fully-fused heteroscedastic (2-latent coupled E-step) megakernel
+    Z2 = ZL[:2]
+    attempt(
+        "fused_cavi_stats_het[rbf]",
+        lambda: pk.fused_cavi_stats_het(
+            X, g, Z2, LinvTL[:2], muL[:2], SigmaL[:2], lsL[:2], varL[:2],
+            1e-4, 1.0, 2.0, kind="rbf",
+        ),
+    )
+    attempt(
+        "fused_cavi_stats_het[matern32,B=200]",
+        lambda: pk.fused_cavi_stats_het(
+            X[:200], g[:200], Z2, LinvTL[:2], muL[:2], SigmaL[:2], lsL[:2],
+            varL[:2], 1e-4, 1.0, 2.0, kind="matern32",
+        ),
+    )
     return n - len(failures), n, failures
 
 

@@ -485,6 +485,27 @@ def fused_mc_megakernel():
     return acc, "> 0.85", acc > 0.85
 
 
+@check("fused_het_megakernel_m64_rmse")
+def fused_het_megakernel():
+    """The fully-fused heteroscedastic megakernel (both latents + the
+    coupled E-step in one kernel; lambda MLE as an XLA epilogue)
+    end-to-end on chip at its gate shape (M <= 256)."""
+    X, f = _toy(30_000, 1, key=52)
+    g = -1.5 + 1.2 * jnp.tanh(X[:, 0])
+    noise = jnp.sqrt(1.0 / (8.0 * jax.nn.sigmoid(g)))
+    y = np.asarray(f + noise * jax.random.normal(jax.random.PRNGKey(53), f.shape, DTYPE))
+    m = agp.SVGP.create(
+        agp.SqExponentialKernel(), agp.HeteroscedasticLikelihood.create(lam=8.0),
+        agp.AnalyticSVI(2048, minibatch_sampling="slice"),
+        Z=X[:64], optimiser=None,
+    )
+    with pallas_override("on"):
+        m, s = agp.train(m, X, y, iterations=200)
+        mu = agp.predict_f(m, s, X[:4096])
+    rmse = float(jnp.sqrt(jnp.mean((mu[0] - f[:4096]) ** 2)))
+    return rmse, "< 0.4", rmse < 0.4 and np.isfinite(rmse)
+
+
 @check("real_data_breast_cancer_accuracy")
 def real_data():
     """REAL tabular data on the chip (VERDICT r4 Missing #2): the vendored
@@ -594,8 +615,8 @@ CHECKS = [gp_exact, svgp_logistic, svgp_hyperopt, multiclass, hetero, vstp,
           fused_studentt, fused_laplace, fused_matern32lik, fused_svm,
           fused_poisson, fused_negbinomial, fused_batched_multiclass,
           fused_batched_hetero, fused_batched_mosvgp, fused_ard,
-          fused_mc_megakernel, real_data, lowering_smoke, online_hyperopt,
-          mo_proba]
+          fused_mc_megakernel, fused_het_megakernel, real_data,
+          lowering_smoke, online_hyperopt, mo_proba]
 
 
 def main():
