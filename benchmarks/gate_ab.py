@@ -68,6 +68,9 @@ def main():
         # batched tier applies at M=512 only
         ("multiclass", 64, 4096, 4000, 2000),
         ("multiclass", 256, 32768, 1200, 400),
+        # heteroscedastic megakernel rows (fused_cavi_stats_het, M <= 256)
+        ("hetero", 64, 2048, 4000, 2000),
+        ("hetero", 256, 8192, 2000, 500),
     ]
     # argv filter, e.g. `gate_ab.py logistic:512:32768` runs one config
     if len(sys.argv) > 1:
@@ -84,6 +87,11 @@ def main():
         elif lik_name == "studentt":
             y = np.asarray(f + 0.1 * jax.random.t(jax.random.PRNGKey(1), 4.0, f.shape))
             lik = agp.StudentTLikelihood.create(4.0)
+        elif lik_name == "hetero":
+            y = np.asarray(
+                f + 0.1 * jax.random.normal(jax.random.PRNGKey(1), f.shape)
+            )
+            lik = agp.HeteroscedasticLikelihood.create()
         else:
             y = np.asarray((f > 0.5).astype(np.int32) + (f > -0.5).astype(np.int32))
             lik = agp.LogisticSoftMaxLikelihood.create(3)
@@ -102,8 +110,21 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    out_rows = rows
+    if len(sys.argv) > 1:
+        # filtered re-measurement: MERGE into the existing artifact (replace
+        # matching rows) instead of clobbering the full sweep
+        try:
+            with open("GATE_AB.json") as fh:
+                old = json.load(fh)["rows"]
+        except Exception:
+            old = []
+        keyed = {(r["lik"], r["M"], r["B"]): r for r in old}
+        for r in rows:
+            keyed[(r["lik"], r["M"], r["B"])] = r
+        out_rows = list(keyed.values())
     with open("GATE_AB.json", "w") as fh:
-        json.dump({"backend": jax.default_backend(), "rows": rows}, fh, indent=1)
+        json.dump({"backend": jax.default_backend(), "rows": out_rows}, fh, indent=1)
 
 
 if __name__ == "__main__":
