@@ -670,3 +670,42 @@ def test_fused_heteroscedastic_step_matches_xla(monkeypatch):
             np.asarray(s_p.local_vars[k]), np.asarray(s_x.local_vars[k]),
             rtol=1e-2, atol=1e-4, err_msg=k,
         )
+
+
+def test_megakernel_auto_gates(monkeypatch):
+    """The fully-fused multiclass/heteroscedastic specs must fire exactly
+    in their measured regions (K*M <= 2560, M <= 256 resp. M <= 256;
+    stochastic b >= 2048 or full batch) and stay out of the batched
+    tier's M >= 512 region."""
+    import agp_tpu as agp
+    from agp_tpu.inference import analytic_vi as av
+
+    monkeypatch.delenv("AGP_TPU_PALLAS", raising=False)
+    monkeypatch.setattr(pk, "available", lambda: True)
+    rng = np.random.default_rng(0)
+
+    def mc(inference, M=64, K=10):
+        Z = rng.normal(size=(max(M, 16), 2))[:M]
+        return agp.SVGP.create(
+            agp.SqExponentialKernel(), agp.LogisticSoftMaxLikelihood.create(K),
+            inference, Z, optimiser=None,
+        )
+
+    assert av._pallas_fused_mc_spec(mc(agp.AnalyticSVI(2048))) == "rbf"
+    assert av._pallas_fused_mc_spec(mc(agp.AnalyticSVI(1024))) is None
+    assert av._pallas_fused_mc_spec(mc(agp.AnalyticVI())) == "rbf"  # full batch
+    # VMEM bounds: K*M > 2560 or M > 256 -> batched tier territory
+    assert av._pallas_fused_mc_spec(mc(agp.AnalyticSVI(2048), M=512, K=3)) is None
+    assert av._pallas_fused_mc_spec(mc(agp.AnalyticSVI(2048), M=256, K=11)) is None
+
+    def het(inference, M=64):
+        Z = rng.normal(size=(max(M, 16), 2))[:M]
+        return agp.SVGP.create(
+            agp.SqExponentialKernel(), agp.HeteroscedasticLikelihood.create(),
+            inference, Z, optimiser=None,
+        )
+
+    assert av._pallas_fused_het_spec(het(agp.AnalyticSVI(2048))) == "rbf"
+    assert av._pallas_fused_het_spec(het(agp.AnalyticSVI(1024))) is None
+    assert av._pallas_fused_het_spec(het(agp.AnalyticVI())) == "rbf"
+    assert av._pallas_fused_het_spec(het(agp.AnalyticSVI(2048), M=512)) is None
