@@ -720,10 +720,26 @@ _FUSED_LIKS = (
 )
 
 
+def _auto_tile_b(M, B):
+    """B-tile height for the single-latent megakernel: the largest tile
+    whose ~3 [M, TB] f32 working tensors (gramT, kappaT, kS) fit VMEM with
+    headroom (scoped limit 16 MB; tile_b=4096 at M=256 measured an 18 MB
+    OOM).  Bigger tiles amortize per-grid-step overheads -- measured v5e
+    flagship (M=64, B=4096): 66.1k -> 70.7k -> 74.6k iters/s at tile_b
+    1024 / 2048 / 4096 (grid 4 -> 2 -> 1)."""
+    if M <= 128:
+        tb = 4096
+    elif M <= 256:
+        tb = 2048
+    else:
+        tb = 1024
+    return min(tb, max(_round_up(B, 256), 256))
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "lik", "tile_b"))
 def fused_cavi_stats(
     xb, yb, Z, L_invT, mu, Sigma, lengthscale, variance, jitt, rho,
-    lik_p0=0.0, lik_p1=0.0, kind="rbf", lik="logistic", tile_b=1024,
+    lik_p0=0.0, lik_p1=0.0, kind="rbf", lik="logistic", tile_b=None,
 ):
     """Fused kappa-basis statistics for one CAVI step (single latent GP).
 
@@ -736,9 +752,11 @@ def fused_cavi_stats(
     theta) are the E-step local variables (so state.local_vars stays in
     sync without a second pass) and (mf, vf) the latent moments (needed by
     likelihoods with closed-form parameter updates, e.g. the Poisson
-    rate)."""
+    rate).  tile_b None -> _auto_tile_b (VMEM-bounded by M)."""
     B, D = xb.shape
     M = Z.shape[0]
+    if tile_b is None:
+        tile_b = _auto_tile_b(M, B)
     Bp = _round_up(B, tile_b)
     mask = jnp.ones((B,), jnp.float32)
     if Bp != B:
