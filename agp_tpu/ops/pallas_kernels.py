@@ -736,6 +736,16 @@ def _auto_tile_b(M, B):
     return min(tb, max(_round_up(B, 256), 256))
 
 
+def _auto_tile_b_lat(K, M, B):
+    """B-tile height for the K-latent megakernels: all K per-class kappa
+    tiles stay VMEM-resident, so the budget scales with K*M.  Measured v5e
+    (mc K=10/M=64, K=3/M=256; het M=64/256): tile 2048 beats 1024 by 2-6%
+    everywhere it fits; 4096 REGRESSES het M=64 (36.5k vs 42.5k --
+    pipelining loses double-buffer headroom), so 2048 is the cap."""
+    tb = 2048 if K * M <= 768 else 1024
+    return min(tb, max(_round_up(B, 256), 256))
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "lik", "tile_b"))
 def fused_cavi_stats(
     xb, yb, Z, L_invT, mu, Sigma, lengthscale, variance, jitt, rho,
@@ -942,7 +952,7 @@ def _cavi_fused_mc_kernel(
 @functools.partial(jax.jit, static_argnames=("kind", "tile_b"))
 def fused_cavi_stats_multiclass(
     xb, y_onehot, Z, L_invT, mu, Sigma, ls, var, jitt, rho, alpha0, beta0,
-    kind="rbf", tile_b=1024,
+    kind="rbf", tile_b=None,
 ):
     """One-kernel multiclass CAVI statistics pass.
 
@@ -950,9 +960,11 @@ def fused_cavi_stats_multiclass(
     Sigma [K, M, M]; ls [K, D] (ARD; broadcast isotropic); var [K];
     alpha0/beta0 [B] (the carried Gamma local variables).  Returns
     (s1 [K, M], S2 [K, M, M], c [K, B], theta [K, B], gamma [K, B],
-    alpha [B])."""
+    alpha [B]).  tile_b None -> _auto_tile_b_lat (VMEM-bounded by K*M)."""
     B, D = xb.shape
     K, M, _ = Z.shape
+    if tile_b is None:
+        tile_b = _auto_tile_b_lat(K, M, B)
     Bp = _round_up(B, tile_b)
     mask = jnp.ones((B,), jnp.float32)
     if Bp != B:
@@ -1120,7 +1132,7 @@ def _cavi_fused_het_kernel(
 @functools.partial(jax.jit, static_argnames=("kind", "tile_b"))
 def fused_cavi_stats_het(
     xb, yb, Z, L_invT, mu, Sigma, ls, var, jitt, rho, lam,
-    kind="rbf", tile_b=1024,
+    kind="rbf", tile_b=None,
 ):
     """One-kernel heteroscedastic CAVI statistics pass.
 
@@ -1129,6 +1141,8 @@ def fused_cavi_stats_het(
     Returns (s1 [2, M], S2 [2, M, M], c, phi, gamma, theta, sigg [B])."""
     B, D = xb.shape
     _, M, _ = Z.shape
+    if tile_b is None:
+        tile_b = _auto_tile_b_lat(2, M, B)
     Bp = _round_up(B, tile_b)
     mask = jnp.ones((B,), jnp.float32)
     if Bp != B:
